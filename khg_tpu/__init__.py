@@ -1,0 +1,40 @@
+"""khg_tpu — a TPU-native HMM-GMM acoustic-modeling framework.
+
+A from-scratch re-design (NOT a port) of the capabilities of
+csukuangfj/kaldi-hmm-gmm for TPU hardware:
+
+- Host (Python) owns symbolic/irregular work: lexicon, HMM topologies,
+  decision trees, FST graph compilation, packing graphs into dense tensors.
+- Device (JAX/XLA/Pallas) owns all per-frame numeric work: fbank features,
+  GMM log-likelihoods as one fused batched GEMM, Viterbi alignment /
+  forward-backward as dense ``lax.scan`` DPs over packed training graphs,
+  sufficient-statistics accumulation via segment-sums, reduced across a
+  device mesh with ``psum``.
+
+Layout:
+  utils/     math helpers, frozen config dataclasses
+  lang/      lexicon, phone/word symbol tables, L-FST, topology text
+  fstlib/    weighted FST library (compose, determinize-star, minimize, ...)
+  model/     HmmTopology, EventMap trees, ContextDependency, TransitionModel
+  gmm/       DiagGmm / AmDiagGmm, packed device model tensors
+  graph/     H transducer, self-loop expansion, training-graph compiler
+  align/     packed graphs + dense Viterbi / forward-backward, equal-align
+  stats/     sufficient-statistics accumulation (device + host views)
+  est/       MLE / MAP M-steps, mixture split/merge, silence boosting
+  features/  fbank feature extraction (JAX / Pallas)
+  decode/    decoding-graph build, best-path decoding, WER scoring
+  parallel/  device-mesh sharded E-step (data parallel + psum)
+  recipes/   end-to-end training recipes (yesno-style, CTC topology)
+"""
+
+__version__ = "0.1.0"
+
+from khg_tpu.model.topology import HmmTopology
+from khg_tpu.model.context_dep import (
+    ContextDependency,
+    monophone_context_dependency,
+    monophone_context_dependency_shared,
+)
+from khg_tpu.model.transition_model import MleTransitionUpdateConfig, TransitionModel
+from khg_tpu.gmm.diag_gmm import DiagGmm
+from khg_tpu.gmm.am_gmm import AmDiagGmm
