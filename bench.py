@@ -1,0 +1,159 @@
+"""Benchmark: align + acc-stats throughput (audio-seconds/s/chip).
+
+Measures the framework's hot path — fused-GEMM GMM log-likelihoods, exact
+dense Viterbi alignment, and sufficient-statistics accumulation — on an
+AudioMNIST-scale monophone system (digits lexicon, 3-state phones, 80-dim
+features, 16 Gaussians/pdf), batched over utterances.
+
+The metric is audio seconds processed per wall-clock second per chip
+(100 frames per audio second).  ``vs_baseline`` is the speedup over the
+same computation on the host CPU backend (the reference implementation is
+single-threaded CPU; its own recipe publishes no numbers — BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-sec/s/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/khg_tpu_jax_cache")
+
+import numpy as np
+
+
+def build_problem(num_graphs=16, batch=64, frames=500, dim=80, mix=16, seed=0):
+    import jax.numpy as jnp
+
+    from khg_tpu.align.packed import pack_graph, pack_graph_batch
+    from khg_tpu.graph.compiler import TrainingGraphCompiler
+    from khg_tpu.graph.h_builder import add_transition_probs
+    from khg_tpu.lang.lexicon import Lexicon, Lexiconp
+    from khg_tpu.lang.lfst import make_lexicon_fst_with_silence
+    from khg_tpu.lang.topo import generate_hmm_topo
+    from khg_tpu.model.context_dep import monophone_context_dependency
+    from khg_tpu.model.transition_model import TransitionModel
+    from khg_tpu.recipes.steps import gmm_init_mono
+
+    rng = np.random.default_rng(seed)
+    digits = "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE".split()
+    word2phones = {"<SIL>": ["SIL"]}
+    for w in digits:
+        # char-level pronunciations (as scripts/generate_lexicon.py does)
+        word2phones[w] = [" ".join(w)]
+    lp = Lexiconp.from_lexicon(Lexicon(word2phones=word2phones)).add_lex_disambig()
+    topo = generate_hmm_topo(
+        non_sil_phones=lp.get_non_sil_phone_ids(),
+        sil_phone=lp.get_sil_phone_id(),
+    )
+    stats_feats = [rng.standard_normal((100, dim)).astype(np.float32)]
+    tm, tree, am = gmm_init_mono(topo, stats_feats)
+    for p in range(am.num_pdfs):
+        am.get_pdf(p).split(mix, 0.1, rng=rng)
+
+    L = make_lexicon_fst_with_silence(lexiconp=lp, sil_prob=0.5, sil_phone="SIL")
+    gc = TrainingGraphCompiler(tm, tree, L, disambig_syms=lp.disambig_phone_ids())
+    id2pdf = tm.id2pdf_array()
+    packed = []
+    for i in range(num_graphs):
+        n_words = 4 + (i % 4)
+        words = [lp.word2id[digits[int(rng.integers(10))]] for _ in range(n_words)]
+        g = gc.compile_graph_from_text(words)
+        add_transition_probs(tm, g, transition_scale=1.0, self_loop_scale=0.1)
+        packed.append(pack_graph(g, id2pdf))
+    graphs = [packed[i % num_graphs] for i in range(batch)]
+    graph_arrays = pack_graph_batch(graphs, states_pad_to=8, indeg_pad_to=2)
+
+    pm = am.pack(mix_pad_to=8, dim_pad_to=1)
+    feats = rng.standard_normal((batch, frames, dim)).astype(np.float32)
+    lens = np.full(batch, frames, dtype=np.int32)
+    return {
+        "model": (pm.gconsts, pm.means_invvars, pm.inv_vars),
+        "graphs": graph_arrays,
+        "feats": feats,
+        "lens": lens,
+        "id2pdf": id2pdf,
+        "num_pdfs": am.num_pdfs,
+    }
+
+
+def run_estep(problem, device, iters, acoustic_scale=0.1):
+    """Returns wall seconds per E-step (align + acc-stats) on `device`."""
+    import jax
+    import jax.numpy as jnp
+
+    from khg_tpu.align.viterbi import viterbi_align_batch
+    from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+    from khg_tpu.stats.accum import accumulate_am_stats
+
+    put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
+    gconsts, miv, iv = (put(x) for x in problem["model"])
+    graphs = tuple(put(a) for a in problem["graphs"])
+    feats = put(problem["feats"])
+    lens = put(problem["lens"])
+    id2pdf = put(problem["id2pdf"])
+
+    @jax.jit
+    def estep(gconsts, miv, iv, in_src, in_tid, in_pdf, in_cost,
+              init_cost, final_cost, feats, lens, id2pdf):
+        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        res = viterbi_align_batch(
+            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
+            ll, lens, id2pdf, acoustic_scale=acoustic_scale,
+        )
+        T = feats.shape[1]
+        fw = (
+            (jnp.arange(T)[None, :] < lens[:, None]) & ~res.failed[:, None]
+        ).astype(jnp.float32)
+        stats = accumulate_am_stats(gconsts, miv, iv, feats, id2pdf[res.tids], fw)
+        return res.tids, stats.occ, stats.mean_acc, stats.var_acc, stats.tot_log_like
+
+    args = (gconsts, miv, iv, *graphs, feats, lens, id2pdf)
+    out = estep(*args)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = estep(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    import jax
+
+    problem = build_problem()
+    batch, frames = problem["feats"].shape[:2]
+    audio_seconds = batch * frames / 100.0
+
+    default_dev = jax.devices()[0]
+    on_tpu = default_dev.platform != "cpu"
+    secs, out = run_estep(problem, default_dev, iters=5 if on_tpu else 2)
+    value = audio_seconds / secs
+
+    vs_baseline = None
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+        if on_tpu:
+            cpu_secs, _ = run_estep(problem, cpu_dev, iters=1)
+            vs_baseline = value / (audio_seconds / cpu_secs)
+        else:
+            vs_baseline = 1.0
+    except Exception as e:  # CPU fallback missing: report raw value only
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "align+acc-stats throughput (audiomnist-scale monophone)",
+                "value": round(value, 2),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

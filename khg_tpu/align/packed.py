@@ -1,0 +1,177 @@
+"""Packing FST training graphs into dense tensors for the device DP.
+
+The device Viterbi/forward-backward works on an incoming-arc table padded
+to the maximum in-degree M:
+
+    in_src[s, m], in_tid[s, m], in_pdf[s, m], in_cost[s, m]
+
+Input-epsilon arcs (from disambiguation-symbol removal etc.) cannot be
+traversed frame-synchronously, so they are absorbed on the host: each
+packed arc is (epsilon path) + (one emitting arc), with the epsilon path
+cost folded in; start and final costs likewise close over epsilons.  The
+alignment (one tid per frame) is exactly the FST path's input-label
+sequence, since only emitting arcs carry labels.
+
+This replaces the reference's pointer-chasing beam decoder state
+(faster-decoder.cc token lists) with static-shape tensors XLA can tile.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from khg_tpu.fstlib.fst import VectorFst
+
+BIG = np.float32(1.0e30)  # finite stand-in for +inf (inf poisons arithmetic)
+
+
+@dataclass
+class PackedGraph:
+    """Dense per-utterance graph tensors (numpy, host side).
+
+    in_src:  (S, M) int32 source state of each incoming arc (0 padding)
+    in_tid:  (S, M) int32 transition-id (0 padding)
+    in_pdf:  (S, M) int32 pdf-id of the tid (0 padding)
+    in_cost: (S, M) float32 graph cost incl. absorbed eps prefix (BIG padding)
+    init_cost:  (S,) float32 cost from the start state via eps paths
+    final_cost: (S,) float32 cost to finality via eps paths
+    """
+
+    in_src: np.ndarray
+    in_tid: np.ndarray
+    in_pdf: np.ndarray
+    in_cost: np.ndarray
+    init_cost: np.ndarray
+    final_cost: np.ndarray
+
+    @property
+    def num_states(self) -> int:
+        return self.in_src.shape[0]
+
+    @property
+    def max_in_degree(self) -> int:
+        return self.in_src.shape[1]
+
+
+def _eps_closure_costs(fst: VectorFst) -> List[Dict[int, float]]:
+    """closure[s] = {t: min cost over input-eps paths s->t} (includes s:0)."""
+    n = fst.num_states
+    eps_arcs: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+    for s in range(n):
+        for a in fst.arcs[s]:
+            if a.ilabel == 0:
+                eps_arcs[s].append((a.nextstate, a.weight))
+    closure: List[Dict[int, float]] = []
+    for s in range(n):
+        dist = {s: 0.0}
+        heap = [(0.0, s)]
+        while heap:
+            d, u = heapq.heappop(heap)
+            if d > dist.get(u, math.inf):
+                continue
+            for v, w in eps_arcs[u]:
+                nd = d + w
+                if nd < dist.get(v, math.inf) - 1e-12:
+                    dist[v] = nd
+                    heapq.heappush(heap, (nd, v))
+        closure.append(dist)
+    return closure
+
+
+def pack_graph(
+    fst: VectorFst,
+    id2pdf: np.ndarray,
+    min_in_degree_pad: int = 1,
+) -> PackedGraph:
+    """Pack one compiled training graph.
+
+    ``id2pdf`` is TransitionModel.id2pdf_array() ((num_tids+1,) int32).
+    """
+    n = fst.num_states
+    assert fst.start != -1
+    closure = _eps_closure_costs(fst)
+
+    # init / final costs through epsilon paths
+    init_cost = np.full(n, BIG, dtype=np.float32)
+    for t, d in closure[fst.start].items():
+        init_cost[t] = min(init_cost[t], d)
+    final_cost = np.full(n, BIG, dtype=np.float32)
+    for s in range(n):
+        best = math.inf
+        for t, d in closure[s].items():
+            if fst.final[t] != math.inf:
+                best = min(best, d + fst.final[t])
+        if best != math.inf:
+            final_cost[s] = best
+
+    # effective emitting arcs: eps prefix + emitting arc
+    incoming: List[List[Tuple[int, int, float]]] = [[] for _ in range(n)]
+    for s in range(n):
+        for t, d in closure[s].items():
+            for a in fst.arcs[t]:
+                if a.ilabel == 0:
+                    continue
+                incoming[a.nextstate].append((s, a.ilabel, d + a.weight))
+    # dedup, keeping min cost per (src, tid)
+    M = min_in_degree_pad
+    for v in range(n):
+        best: Dict[Tuple[int, int], float] = {}
+        for s, tid, c in incoming[v]:
+            key = (s, tid)
+            if key not in best or c < best[key]:
+                best[key] = c
+        incoming[v] = sorted((s, tid, c) for (s, tid), c in best.items())
+        M = max(M, len(incoming[v]))
+
+    in_src = np.zeros((n, M), dtype=np.int32)
+    in_tid = np.zeros((n, M), dtype=np.int32)
+    in_pdf = np.zeros((n, M), dtype=np.int32)
+    in_cost = np.full((n, M), BIG, dtype=np.float32)
+    for v in range(n):
+        for m, (s, tid, c) in enumerate(incoming[v]):
+            in_src[v, m] = s
+            in_tid[v, m] = tid
+            in_pdf[v, m] = id2pdf[tid]
+            in_cost[v, m] = c
+    return PackedGraph(in_src, in_tid, in_pdf, in_cost, init_cost, final_cost)
+
+
+def pack_graph_batch(
+    graphs: Sequence[PackedGraph],
+    states_pad_to: int = 1,
+    indeg_pad_to: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack PackedGraphs, padding states/in-degree to the batch max
+    (optionally rounded up so bucketed shapes recompile rarely).
+
+    Returns (in_src, in_tid, in_pdf, in_cost, init_cost, final_cost) with a
+    leading batch axis.  Padding states are unreachable (init BIG, no real
+    incoming arcs).
+    """
+
+    def round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    S = round_up(max(g.num_states for g in graphs), states_pad_to)
+    M = round_up(max(g.max_in_degree for g in graphs), indeg_pad_to)
+    B = len(graphs)
+    in_src = np.zeros((B, S, M), dtype=np.int32)
+    in_tid = np.zeros((B, S, M), dtype=np.int32)
+    in_pdf = np.zeros((B, S, M), dtype=np.int32)
+    in_cost = np.full((B, S, M), BIG, dtype=np.float32)
+    init_cost = np.full((B, S), BIG, dtype=np.float32)
+    final_cost = np.full((B, S), BIG, dtype=np.float32)
+    for b, g in enumerate(graphs):
+        s, m = g.num_states, g.max_in_degree
+        in_src[b, :s, :m] = g.in_src
+        in_tid[b, :s, :m] = g.in_tid
+        in_pdf[b, :s, :m] = g.in_pdf
+        in_cost[b, :s, :m] = g.in_cost
+        init_cost[b, :s] = g.init_cost
+        final_cost[b, :s] = g.final_cost
+    return in_src, in_tid, in_pdf, in_cost, init_cost, final_cost

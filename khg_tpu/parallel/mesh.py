@@ -1,0 +1,182 @@
+"""Data-parallel EM over a device mesh.
+
+The workload's natural parallelism is over utterances (SURVEY §2.4): each
+utterance's alignment is independent, and sufficient statistics are
+additive.  So the distributed design is:
+
+  - a 1-D mesh over axis "dp"; utterance batches sharded along it
+  - the (small) model replicated on every chip
+  - per-shard fused-GEMM loglikes -> dense Viterbi -> stats GEMMs
+  - jax.lax.psum of the three stats tensors over "dp" (ICI within a
+    slice; JAX's multi-host runtime extends the same program over DCN)
+  - a pure-JAX dense M-step on the reduced stats, identical on every
+    chip (so the replicated model stays in sync without a broadcast)
+
+Correctness anchor: psum of shard stats == serial accumulation, which the
+additivity tests in tests/test_stats_est.py pin down.
+
+This whole module replaces "nothing" in the reference — it is
+single-process (SURVEY §2.4); Kaldi-style recipes shard by file and sum
+accumulators, which psum subsumes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from khg_tpu.align.viterbi import viterbi_align_batch
+from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+from khg_tpu.stats.accum import accumulate_am_stats
+
+
+def make_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("dp",))
+
+
+class EmStepResult(NamedTuple):
+    tids: jnp.ndarray          # (B, T) sharded over dp
+    total_cost: jnp.ndarray    # (B,)
+    occ: jnp.ndarray           # (P, K) replicated (psummed)
+    mean_acc: jnp.ndarray      # (P, K, D)
+    var_acc: jnp.ndarray       # (P, K, D)
+    tot_log_like: jnp.ndarray  # ()
+    tot_frames: jnp.ndarray    # ()
+    new_gconsts: jnp.ndarray       # (P, K)
+    new_means_invvars: jnp.ndarray  # (P, K, D)
+    new_inv_vars: jnp.ndarray      # (P, K, D)
+    new_weights: jnp.ndarray       # (P, K)
+
+
+def _dense_mstep(
+    occ: jnp.ndarray,        # (P, K)
+    mean_acc: jnp.ndarray,   # (P, K, D)
+    var_acc: jnp.ndarray,    # (P, K, D)
+    old_gconsts: jnp.ndarray,
+    old_means_invvars: jnp.ndarray,
+    old_inv_vars: jnp.ndarray,
+    old_weights: jnp.ndarray,
+    min_variance: float = 0.001,
+    min_gaussian_occupancy: float = 10.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure-JAX closed-form MLE update on padded dense stats.
+
+    Components below the occupancy threshold keep their old parameters
+    (the dense analogue of "skip, don't remove": removal changes shapes
+    and is a host-side operation between EM passes).
+    """
+    P_, K, D = mean_acc.shape
+    occ_sum = jnp.sum(occ, axis=1, keepdims=True)  # per-pdf occupancy
+    active = occ > min_gaussian_occupancy
+    safe_occ = jnp.where(active, occ, 1.0)
+
+    weights = jnp.where(
+        occ_sum > 0, occ / jnp.maximum(occ_sum, 1e-10), old_weights
+    )
+    means = mean_acc / safe_occ[..., None]
+    variances = var_acc / safe_occ[..., None] - jnp.square(means)
+    variances = jnp.maximum(variances, min_variance)
+
+    inv_vars = 1.0 / variances
+    means_invvars = means * inv_vars
+
+    new_inv_vars = jnp.where(active[..., None], inv_vars, old_inv_vars)
+    new_means_invvars = jnp.where(
+        active[..., None], means_invvars, old_means_invvars
+    )
+    new_weights = jnp.where(active, weights, old_weights)
+
+    # gconsts; padding components (zero inv_vars rows) must stay -inf
+    log2pi = 1.8378770664093453
+    valid = jnp.any(new_inv_vars > 0, axis=-1)
+    gconsts = (
+        jnp.log(jnp.maximum(new_weights, 1e-37))
+        - 0.5 * log2pi * D
+        + 0.5 * jnp.sum(jnp.log(jnp.where(new_inv_vars > 0, new_inv_vars, 1.0)), axis=-1)
+        - 0.5
+        * jnp.sum(
+            jnp.square(new_means_invvars)
+            / jnp.where(new_inv_vars > 0, new_inv_vars, 1.0),
+            axis=-1,
+        )
+    )
+    new_gconsts = jnp.where(valid, gconsts, -jnp.inf)
+    return new_gconsts, new_means_invvars, new_inv_vars, new_weights
+
+
+def sharded_em_step(
+    mesh: Mesh,
+    acoustic_scale: float = 1.0,
+):
+    """Build the jitted full EM step over the mesh.
+
+    Returns a function
+      step(model (gconsts, miv, iv, weights), graphs (in_src, in_tid,
+           in_pdf, in_cost, init_cost, final_cost), feats, num_frames,
+           id2pdf) -> EmStepResult
+    with batch axes sharded over "dp" and the model replicated.  The
+    M-step runs on the psummed stats, replicated, keeping every chip's
+    model bitwise identical.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    dp = P("dp")
+    rep = P()
+
+    def step(model, graphs, feats, num_frames, id2pdf):
+        gconsts, miv, iv, weights = model
+        in_src, in_tid, in_pdf, in_cost, init_cost, final_cost = graphs
+
+        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        res = viterbi_align_batch(
+            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
+            ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
+        )
+        T = feats.shape[1]
+        frame_weights = (
+            (jnp.arange(T)[None, :] < num_frames[:, None])
+            & ~res.failed[:, None]
+        ).astype(jnp.float32)
+        pdf_ids = id2pdf[res.tids]
+        stats = accumulate_am_stats(
+            gconsts, miv, iv, feats, pdf_ids, frame_weights
+        )
+        occ = jax.lax.psum(stats.occ, "dp")
+        mean_acc = jax.lax.psum(stats.mean_acc, "dp")
+        var_acc = jax.lax.psum(stats.var_acc, "dp")
+        tot_ll = jax.lax.psum(stats.tot_log_like, "dp")
+        tot_frames = jax.lax.psum(stats.tot_frames, "dp")
+
+        ng, nmiv, niv, nw = _dense_mstep(
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights
+        )
+        return EmStepResult(
+            res.tids, res.total_cost, occ, mean_acc, var_acc,
+            tot_ll, tot_frames, ng, nmiv, niv, nw,
+        )
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            (rep, rep, rep, rep),          # model replicated
+            (dp, dp, dp, dp, dp, dp),      # graphs sharded over batch
+            dp,                            # feats
+            dp,                            # num_frames
+            rep,                           # id2pdf
+        ),
+        out_specs=EmStepResult(
+            dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep
+        ),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,233 @@
+"""Batched device E-step: align utterances and accumulate statistics.
+
+Bridges the host world (ragged utterances, FST graphs, mutable models) and
+the device world (padded dense tensors, jitted kernels):
+
+  1. pack the acoustic model (one padded tensor set per E-step),
+  2. pack each utterance's training graph (rebuilt per realignment pass,
+     since transition probs change),
+  3. bucket utterances by padded (T, S, M) shape to bound recompilation,
+  4. per bucket: fused GEMM loglikes -> dense Viterbi -> stats GEMMs,
+  5. fold dense padded stats back into the ragged host accumulators.
+
+Equivalent of the reference's per-utterance loop
+(/root/reference/egs/yesno/train.py:116-222, gmm_align_compiled.py,
+gmm_acc_stats_ali.py) redesigned for batched TPU execution.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from khg_tpu.align.packed import BIG, PackedGraph, pack_graph, pack_graph_batch
+from khg_tpu.align.viterbi import FAIL_THRESHOLD, viterbi_align_batch
+from khg_tpu.est.flags import GMM_ALL
+from khg_tpu.fstlib.fst import VectorFst
+from khg_tpu.gmm.am_gmm import AmDiagGmm
+from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+from khg_tpu.graph.h_builder import add_transition_probs
+from khg_tpu.model.transition_model import TransitionModel
+from khg_tpu.stats.accum import (
+    AccumAmDiagGmm,
+    accumulate_am_stats,
+    accumulate_transition_stats,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class AlignmentResult:
+    """Host-side alignment outcome for a batch of utterances."""
+
+    alignments: List[Optional[List[int]]]  # per utt tid sequence (None = failed)
+    tot_like: float  # sum over utts of -(graph+acoustic)/acoustic_scale
+    num_done: int
+    num_error: int
+    frame_count: int
+
+
+class EStepPipeline:
+    def __init__(
+        self,
+        transition_model: TransitionModel,
+        acoustic_scale: float = 1.0,
+        transition_scale: float = 1.0,
+        self_loop_scale: float = 1.0,
+        batch_size: int = 64,
+        frames_pad_multiple: int = 32,
+        states_pad_multiple: int = 8,
+        indeg_pad_multiple: int = 2,
+        mix_pad_multiple: int = 1,
+    ):
+        self.tm = transition_model
+        self.acoustic_scale = acoustic_scale
+        self.transition_scale = transition_scale
+        self.self_loop_scale = self_loop_scale
+        self.batch_size = batch_size
+        self.frames_pad = frames_pad_multiple
+        self.states_pad = states_pad_multiple
+        self.indeg_pad = indeg_pad_multiple
+        self.mix_pad = mix_pad_multiple
+        self.id2pdf = transition_model.id2pdf_array()
+
+    # ------------------------------------------------------------- packing
+
+    def pack_graphs(self, graphs: Sequence[VectorFst]) -> List[PackedGraph]:
+        """Apply current transition probs (align-time scales) and pack.
+
+        Mirrors gmm_align_compiled: scaled transition costs are ADDED to the
+        compile-time graph costs, on a copy.
+        """
+        id2pdf = self.tm.id2pdf_array()
+        packed = []
+        for g in graphs:
+            gc = g.copy()
+            add_transition_probs(
+                self.tm, gc, self.transition_scale, self.self_loop_scale
+            )
+            packed.append(pack_graph(gc, id2pdf))
+        return packed
+
+    # -------------------------------------------------------------- e-step
+
+    def align_and_accumulate(
+        self,
+        am: AmDiagGmm,
+        packed_graphs: Sequence[PackedGraph],
+        feats: Sequence[np.ndarray],
+        gmm_accs: Optional[AccumAmDiagGmm] = None,
+        transition_accs: Optional[np.ndarray] = None,
+        accumulate: bool = True,
+    ) -> AlignmentResult:
+        """Viterbi-align all utterances; optionally accumulate GMM and
+        transition stats from the alignments (weight 1.0 per frame)."""
+        assert len(packed_graphs) == len(feats)
+        model = am.pack(mix_pad_to=self.mix_pad)
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        alignments: List[Optional[List[int]]] = [None] * n
+        tot_like = 0.0
+        num_done = 0
+        num_error = 0
+        frame_count = 0
+
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
+            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
+            lens = np.zeros(len(idx), dtype=np.int32)
+            for j, i in enumerate(idx):
+                t = feats[i].shape[0]
+                bfeats[j, :t] = feats[i]
+                lens[j] = t
+            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost = pack_graph_batch(
+                [packed_graphs[i] for i in idx],
+                states_pad_to=self.states_pad,
+                indeg_pad_to=self.indeg_pad,
+            )
+            ll = gmm_loglikes(
+                model.gconsts, model.means_invvars, model.inv_vars, bfeats
+            )
+            res = viterbi_align_batch(
+                in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
+                ll, lens, self.id2pdf, acoustic_scale=self.acoustic_scale,
+            )
+            tids = np.asarray(res.tids)
+            total_cost = np.asarray(res.total_cost)
+            acoustic_cost = np.asarray(res.acoustic_cost)
+            failed = np.asarray(res.failed)
+
+            frame_weights = (
+                (np.arange(bt)[None, :] < lens[:, None]) & ~failed[:, None]
+            ).astype(np.float32)
+            for j, i in enumerate(idx):
+                if failed[j]:
+                    num_error += 1
+                    logger.warning("Alignment failed for utterance %d", i)
+                    continue
+                t = int(lens[j])
+                alignments[i] = tids[j, :t].tolist()
+                # like = -(graph_cost + acoustic_cost)/acoustic_scale, as in
+                # AlignUtteranceWrapper (decoder-wrappers.cc:99)
+                tot_like += -float(total_cost[j]) / self.acoustic_scale
+                num_done += 1
+                frame_count += t
+
+            if accumulate and gmm_accs is not None:
+                pdf_ids = self.id2pdf[tids]
+                stats = accumulate_am_stats(
+                    model.gconsts, model.means_invvars, model.inv_vars,
+                    bfeats, pdf_ids, frame_weights,
+                )
+                gmm_accs.add_dense(
+                    np.asarray(stats.occ),
+                    np.asarray(stats.mean_acc),
+                    np.asarray(stats.var_acc),
+                    float(stats.tot_log_like),
+                    float(stats.tot_frames),
+                )
+            if accumulate and transition_accs is not None:
+                ok = ~failed
+                transition_accs += accumulate_transition_stats(
+                    tids[ok], lens[ok], self.tm.num_transition_ids
+                )
+        return AlignmentResult(alignments, tot_like, num_done, num_error, frame_count)
+
+    def accumulate_from_alignments(
+        self,
+        am: AmDiagGmm,
+        feats: Sequence[np.ndarray],
+        alignments: Sequence[Sequence[int]],
+        gmm_accs: AccumAmDiagGmm,
+        transition_accs: Optional[np.ndarray] = None,
+    ) -> float:
+        """Stats from FIXED alignments (equal-align init / re-accumulation).
+
+        Returns the total log-like.  Device path of gmm_acc_stats_ali.
+        """
+        model = am.pack(mix_pad_to=self.mix_pad)
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        tot = 0.0
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
+            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
+            btids = np.zeros((len(idx), bt), dtype=np.int32)
+            lens = np.zeros(len(idx), dtype=np.int32)
+            for j, i in enumerate(idx):
+                t = feats[i].shape[0]
+                assert len(alignments[i]) == t
+                bfeats[j, :t] = feats[i]
+                btids[j, :t] = alignments[i]
+                lens[j] = t
+            frame_weights = (np.arange(bt)[None, :] < lens[:, None]).astype(
+                np.float32
+            )
+            pdf_ids = self.id2pdf[btids]
+            stats = accumulate_am_stats(
+                model.gconsts, model.means_invvars, model.inv_vars,
+                bfeats, pdf_ids, frame_weights,
+            )
+            tot += float(stats.tot_log_like)
+            gmm_accs.add_dense(
+                np.asarray(stats.occ),
+                np.asarray(stats.mean_acc),
+                np.asarray(stats.var_acc),
+                float(stats.tot_log_like),
+                float(stats.tot_frames),
+            )
+            if transition_accs is not None:
+                transition_accs += accumulate_transition_stats(
+                    btids, lens, self.tm.num_transition_ids
+                )
+        return tot

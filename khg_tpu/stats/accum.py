@@ -1,0 +1,262 @@
+"""Sufficient-statistics accumulation.
+
+Host view: AccumDiagGmm / AccumAmDiagGmm with float64 0th/1st/2nd-order
+stats, additive across shards (the correctness anchor for distributed
+reduction: psum of per-shard stats == serial accumulation).
+
+Device path: ``accumulate_am_stats`` — given frame-aligned pdf-ids, one
+jitted pass computes per-component posteriors of each frame's pdf and
+reduces the three stats tensors with one-hot GEMMs (MXU-friendly
+segment-sums), replacing the reference's per-frame Eigen loop
+(/root/reference/kaldi-hmm-gmm/csrc/mle-diag-gmm.cc:100-158,
+mle-am-diag-gmm.cc:41-53).  Under data parallelism these tensors are
+combined with jax.lax.psum (see khg_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khg_tpu.est.flags import GMM_MEANS, GMM_VARIANCES, GMM_WEIGHTS, augment_gmm_flags
+from khg_tpu.gmm.am_gmm import AmDiagGmm
+from khg_tpu.gmm.diag_gmm import DiagGmm
+
+
+class AccumDiagGmm:
+    """Per-pdf accumulator: occupancy (K,), mean (K,D), var (K,D) in f64."""
+
+    def __init__(self, num_comp: int = 0, dim: int = 0, flags: int = 0):
+        if num_comp > 0:
+            self.resize(num_comp, dim, flags)
+        else:
+            self.num_comp = 0
+            self.dim = 0
+            self.flags = 0
+
+    def resize(self, num_comp: int, dim: int, flags: int) -> None:
+        assert num_comp > 0 and dim > 0
+        self.num_comp = num_comp
+        self.dim = dim
+        self.flags = augment_gmm_flags(flags)
+        self.occupancy = np.zeros(num_comp, dtype=np.float64)
+        self.mean_accumulator = (
+            np.zeros((num_comp, dim), dtype=np.float64)
+            if self.flags & GMM_MEANS
+            else np.zeros((0, 0))
+        )
+        self.variance_accumulator = (
+            np.zeros((num_comp, dim), dtype=np.float64)
+            if self.flags & GMM_VARIANCES
+            else np.zeros((0, 0))
+        )
+
+    def set_zero(self) -> None:
+        self.occupancy[:] = 0
+        if self.flags & GMM_MEANS:
+            self.mean_accumulator[:] = 0
+        if self.flags & GMM_VARIANCES:
+            self.variance_accumulator[:] = 0
+
+    def scale(self, f: float) -> None:
+        self.occupancy *= f
+        if self.flags & GMM_MEANS:
+            self.mean_accumulator *= f
+        if self.flags & GMM_VARIANCES:
+            self.variance_accumulator *= f
+
+    def accumulate_for_component(
+        self, data: np.ndarray, comp_index: int, weight: float
+    ) -> None:
+        self.occupancy[comp_index] += weight
+        if self.flags & GMM_MEANS:
+            self.mean_accumulator[comp_index] += data.astype(np.float64) * weight
+        if self.flags & GMM_VARIANCES:
+            self.variance_accumulator[comp_index] += (
+                data.astype(np.float64) ** 2 * weight
+            )
+
+    def accumulate_from_posteriors(
+        self, data: np.ndarray, posteriors: np.ndarray
+    ) -> None:
+        p = posteriors.astype(np.float64)
+        self.occupancy += p
+        if self.flags & GMM_MEANS:
+            self.mean_accumulator += p[:, None] * data.astype(np.float64)[None, :]
+        if self.flags & GMM_VARIANCES:
+            self.variance_accumulator += (
+                p[:, None] * (data.astype(np.float64) ** 2)[None, :]
+            )
+
+    def accumulate_from_diag(
+        self, gmm: DiagGmm, data: np.ndarray, weight: float
+    ) -> float:
+        log_like, post = gmm.component_posteriors(data)
+        self.accumulate_from_posteriors(data, post * weight)
+        return log_like
+
+    def add(self, scale: float, other: "AccumDiagGmm") -> None:
+        self.occupancy += scale * other.occupancy
+        if self.flags & GMM_MEANS:
+            self.mean_accumulator += scale * other.mean_accumulator
+        if self.flags & GMM_VARIANCES:
+            self.variance_accumulator += scale * other.variance_accumulator
+
+    def smooth_stats(self, tau: float) -> None:
+        """Scale 1st/2nd-order stats so they appear to have (occ+tau) counts."""
+        smoothing = (self.occupancy + tau) / self.occupancy
+        self.mean_accumulator *= smoothing[:, None]
+        self.variance_accumulator *= smoothing[:, None]
+        self.occupancy += tau
+
+
+class AccumAmDiagGmm:
+    def __init__(self):
+        self.accs: List[AccumDiagGmm] = []
+        self.total_frames = 0.0
+        self.total_log_like = 0.0
+
+    def init(self, model: AmDiagGmm, flags: int) -> None:
+        self.accs = []
+        for i in range(model.num_pdfs):
+            acc = AccumDiagGmm()
+            acc.resize(model.get_pdf(i).num_gauss, model.dim, flags)
+            self.accs.append(acc)
+        self.total_frames = 0.0
+        self.total_log_like = 0.0
+
+    @property
+    def num_accs(self) -> int:
+        return len(self.accs)
+
+    @property
+    def tot_count(self) -> float:
+        return self.total_frames
+
+    @property
+    def tot_log_like(self) -> float:
+        return self.total_log_like
+
+    def get_acc(self, i: int) -> AccumDiagGmm:
+        return self.accs[i]
+
+    def accumulate_for_gmm(
+        self, model: AmDiagGmm, data: np.ndarray, gmm_index: int, weight: float
+    ) -> float:
+        log_like = self.accs[gmm_index].accumulate_from_diag(
+            model.get_pdf(gmm_index), data, weight
+        )
+        self.total_log_like += log_like * weight
+        self.total_frames += weight
+        return log_like
+
+    def add(self, scale: float, other: "AccumAmDiagGmm") -> None:
+        self.total_frames += scale * other.total_frames
+        self.total_log_like += scale * other.total_log_like
+        assert self.num_accs == other.num_accs
+        for a, b in zip(self.accs, other.accs):
+            a.add(scale, b)
+
+    # ------------------------------------------------------------- device IO
+
+    def add_dense(
+        self,
+        occ: np.ndarray,       # (P, K)
+        mean_acc: np.ndarray,  # (P, K, D)
+        var_acc: np.ndarray,   # (P, K, D)
+        tot_log_like: float,
+        tot_frames: float,
+    ) -> None:
+        """Fold device-computed padded stats into the ragged host view."""
+        for p, acc in enumerate(self.accs):
+            k = acc.num_comp
+            acc.occupancy += occ[p, :k].astype(np.float64)
+            if acc.flags & GMM_MEANS:
+                acc.mean_accumulator += mean_acc[p, :k, : acc.dim].astype(np.float64)
+            if acc.flags & GMM_VARIANCES:
+                acc.variance_accumulator += var_acc[p, :k, : acc.dim].astype(
+                    np.float64
+                )
+        self.total_log_like += float(tot_log_like)
+        self.total_frames += float(tot_frames)
+
+
+class DenseStats(NamedTuple):
+    """Device-side padded stats; additive, psum-able."""
+
+    occ: jnp.ndarray       # (P, K)
+    mean_acc: jnp.ndarray  # (P, K, D)
+    var_acc: jnp.ndarray   # (P, K, D)
+    tot_log_like: jnp.ndarray  # ()
+    tot_frames: jnp.ndarray    # ()
+
+
+@functools.partial(jax.jit, static_argnames=())
+def accumulate_am_stats(
+    gconsts: jnp.ndarray,        # (P, K)
+    means_invvars: jnp.ndarray,  # (P, K, D)
+    inv_vars: jnp.ndarray,       # (P, K, D)
+    feats: jnp.ndarray,          # (B, T, D)
+    pdf_ids: jnp.ndarray,        # (B, T) int32
+    frame_weights: jnp.ndarray,  # (B, T) f32 (0 masks a frame out)
+) -> DenseStats:
+    """E-step stats from a fixed frame-level pdf alignment.
+
+    Per frame: component posteriors of the aligned pdf; stats reduced over
+    frames with one-hot GEMMs.  Exactly mirrors AccumulateForGmm with
+    weight=frame_weights (1.0 normally, 0.0 for padding/failed frames).
+    """
+    P, K, D = means_invvars.shape
+    B, T, _ = feats.shape
+    N = B * T
+    x = feats.reshape(N, D)
+    pid = pdf_ids.reshape(N)
+    w = frame_weights.reshape(N)
+
+    # per-frame model rows for the aligned pdf
+    g = gconsts[pid]                  # (N, K)
+    m = means_invvars[pid]            # (N, K, D)
+    v = inv_vars[pid]                 # (N, K, D)
+    hi = jax.lax.Precision.HIGHEST
+    scores = (
+        g
+        + jnp.einsum("nkd,nd->nk", m, x, preferred_element_type=jnp.float32,
+                     precision=hi)
+        - 0.5 * jnp.einsum("nkd,nd->nk", v, jnp.square(x),
+                           preferred_element_type=jnp.float32, precision=hi)
+    )
+    log_like = jax.nn.logsumexp(scores, axis=1)       # (N,)
+    post = jax.nn.softmax(scores, axis=1) * w[:, None]  # (N, K)
+
+    onehot = jax.nn.one_hot(pid, P, dtype=jnp.float32) * (w > 0)[:, None]
+    # guard: padding frames may carry pdf 0; the weight factor zeroes them.
+    post_masked = post
+    occ = jnp.einsum("np,nk->pk", onehot, post_masked,
+                     preferred_element_type=jnp.float32, precision=hi)
+    xw = jnp.concatenate([x, jnp.square(x)], axis=1)  # (N, 2D)
+    # (P, N) @ (N, K*2D): one big MXU GEMM for both moment tensors
+    pkx = jnp.einsum(
+        "np,nk,nd->pkd", onehot, post_masked, xw,
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    mean_acc = pkx[..., :D]
+    var_acc = pkx[..., D:]
+    tot_log_like = jnp.sum(log_like * w)
+    tot_frames = jnp.sum(w)
+    return DenseStats(occ, mean_acc, var_acc, tot_log_like, tot_frames)
+
+
+def accumulate_transition_stats(
+    tids: np.ndarray, num_frames: np.ndarray, num_tids: int
+) -> np.ndarray:
+    """(num_tids+1,) float64 counts from batched alignments (host)."""
+    stats = np.zeros(num_tids + 1, dtype=np.float64)
+    for b in range(tids.shape[0]):
+        n = int(num_frames[b])
+        np.add.at(stats, tids[b, :n], 1.0)
+    stats[0] = 0.0
+    return stats

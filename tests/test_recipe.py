@@ -1,0 +1,68 @@
+"""End-to-end training on the synthetic yesno-style corpus."""
+
+import numpy as np
+import pytest
+
+from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    lp, corpus = make_synthetic_corpus(num_utts=8, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=8, total_gauss=40, max_iter_inc=4,
+        realign_iters="1 2 3 4 5 6 7",
+    )
+    return lp, corpus, result
+
+
+def test_loglike_improves(trained):
+    lp, corpus, result = trained
+    # EM on well-separated synthetic emitters must improve massively
+    assert result.avg_loglikes[-1] > result.avg_loglikes[0] + 3.0
+    # and the early passes are monotone (before mix-up perturbation noise)
+    assert result.avg_loglikes[1] >= result.avg_loglikes[0] - 1e-3
+
+
+def test_alignment_recovers_hidden_phones(trained):
+    lp, corpus, result = trained
+    tm = result.transition_model
+    sil = lp.get_sil_phone_id()
+    # Frame-level phone accuracy vs the generating hidden sequence.  Word
+    # frames must be recovered accurately; silence frames commonly spill
+    # into neighboring word phones in un-boosted flat-start EM (the
+    # reference behaves the same way), so they get a looser joint bound.
+    total = correct = word_total = word_correct = 0
+    for i, ali in enumerate(result.alignments):
+        assert ali is not None
+        hidden = corpus.phone_alignments[i]
+        assert len(ali) == len(hidden)
+        for tid, ph in zip(ali, hidden):
+            got = tm.transition_id_to_phone(tid)
+            total += 1
+            correct += got == ph
+            if ph != sil:
+                word_total += 1
+                word_correct += got == ph
+    assert word_correct / word_total > 0.75, word_correct / word_total
+    assert correct / total > 0.40, correct / total
+
+
+def test_mixup_grew_gaussians(trained):
+    lp, corpus, result = trained
+    assert result.info["number_of_gaussians"] > result.info["number_of_pdfs"]
+
+
+def test_transitions_learned(trained):
+    lp, corpus, result = trained
+    tm = result.transition_model
+    # after training, self-loop probs differ from the 0.75 prior somewhere
+    import math
+
+    probs = [
+        tm.get_transition_prob(tm.self_loop_of(ts))
+        for ts in range(1, tm.num_transition_states + 1)
+        if tm.self_loop_of(ts) != 0
+    ]
+    assert any(abs(p - 0.75) > 0.02 for p in probs)

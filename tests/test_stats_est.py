@@ -1,0 +1,205 @@
+import math
+
+import numpy as np
+import pytest
+
+from khg_tpu.est.flags import GMM_ALL, str_to_gmm_flags
+from khg_tpu.est.mle import (
+    MapDiagGmmOptions,
+    MleDiagGmmOptions,
+    gmm_boost_silence,
+    map_diag_gmm_update,
+    ml_objective,
+    mle_diag_gmm_update,
+)
+from khg_tpu.stats.accum import (
+    AccumAmDiagGmm,
+    AccumDiagGmm,
+    accumulate_am_stats,
+)
+from tests.test_align import random_am
+from tests.test_graph_compiler import build_yesno_like
+
+
+def test_device_stats_match_host_accumulation():
+    rng = np.random.default_rng(5)
+    am = random_am(4, 5, rng, max_mix=3)
+    T = 17
+    feats = rng.standard_normal((1, T, 5)).astype(np.float32)
+    pdf_seq = rng.integers(0, 4, T).astype(np.int32)
+
+    # host path: per-frame accumulate_for_gmm
+    host = AccumAmDiagGmm()
+    host.init(am, flags=GMM_ALL)
+    for t in range(T):
+        host.accumulate_for_gmm(am, feats[0, t], int(pdf_seq[t]), 1.0)
+
+    # device path
+    dev = AccumAmDiagGmm()
+    dev.init(am, flags=GMM_ALL)
+    model = am.pack()
+    stats = accumulate_am_stats(
+        model.gconsts, model.means_invvars, model.inv_vars,
+        feats, pdf_seq[None, :], np.ones((1, T), dtype=np.float32),
+    )
+    dev.add_dense(
+        np.asarray(stats.occ), np.asarray(stats.mean_acc),
+        np.asarray(stats.var_acc), float(stats.tot_log_like),
+        float(stats.tot_frames),
+    )
+
+    assert math.isclose(dev.tot_count, host.tot_count)
+    assert math.isclose(dev.tot_log_like, host.tot_log_like, rel_tol=1e-4)
+    for p in range(4):
+        np.testing.assert_allclose(
+            dev.get_acc(p).occupancy, host.get_acc(p).occupancy,
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            dev.get_acc(p).mean_accumulator, host.get_acc(p).mean_accumulator,
+            rtol=1e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            dev.get_acc(p).variance_accumulator,
+            host.get_acc(p).variance_accumulator,
+            rtol=1e-3, atol=1e-4,
+        )
+
+
+def test_stats_additive_equals_shard_sum():
+    """psum correctness anchor: sum of per-shard stats == serial stats."""
+    rng = np.random.default_rng(6)
+    am = random_am(3, 4, rng)
+    feats = rng.standard_normal((40, 4)).astype(np.float32)
+    pdfs = rng.integers(0, 3, 40)
+
+    serial = AccumAmDiagGmm()
+    serial.init(am, flags=GMM_ALL)
+    for t in range(40):
+        serial.accumulate_for_gmm(am, feats[t], int(pdfs[t]), 1.0)
+
+    sharded = AccumAmDiagGmm()
+    sharded.init(am, flags=GMM_ALL)
+    for lo in (0, 20):
+        part = AccumAmDiagGmm()
+        part.init(am, flags=GMM_ALL)
+        for t in range(lo, lo + 20):
+            part.accumulate_for_gmm(am, feats[t], int(pdfs[t]), 1.0)
+        sharded.add(1.0, part)
+
+    for p in range(3):
+        np.testing.assert_allclose(
+            sharded.get_acc(p).occupancy, serial.get_acc(p).occupancy, rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            sharded.get_acc(p).mean_accumulator,
+            serial.get_acc(p).mean_accumulator,
+            rtol=1e-12,
+        )
+
+
+def test_mle_update_recovers_sample_moments():
+    rng = np.random.default_rng(7)
+    from khg_tpu.gmm.diag_gmm import DiagGmm
+
+    g = DiagGmm(1, 3)
+    g.set_weights(np.ones(1, dtype=np.float32))
+    g.set_invvars_and_means(
+        np.ones((1, 3), dtype=np.float32), np.zeros((1, 3), dtype=np.float32)
+    )
+    g.compute_gconsts()
+    data = rng.standard_normal((200, 3)).astype(np.float32) * 2.0 + 1.5
+    acc = AccumDiagGmm(1, 3, GMM_ALL)
+    for x in data:
+        acc.accumulate_from_diag(g, x, 1.0)
+    obj_change, count, ef, gf, rm = mle_diag_gmm_update(
+        MleDiagGmmOptions(), acc, str_to_gmm_flags("mvw"), g
+    )
+    assert count == 200
+    assert obj_change > 0
+    np.testing.assert_allclose(g.get_means()[0], data.mean(axis=0), rtol=1e-4)
+    np.testing.assert_allclose(
+        g.get_vars()[0], data.var(axis=0), rtol=1e-3
+    )
+
+
+def test_mle_update_removes_low_count():
+    rng = np.random.default_rng(8)
+    am = random_am(1, 3, rng, max_mix=3)
+    g = am.get_pdf(0)
+    k = g.num_gauss
+    if k == 1:
+        g.split(3, 0.1, rng=rng)
+        k = 3
+    acc = AccumDiagGmm(k, 3, GMM_ALL)
+    # only component stats for comp 0; others have zero occupancy
+    data = rng.standard_normal((50, 3)).astype(np.float32)
+    for x in data:
+        acc.accumulate_for_component(x, 0, 1.0)
+    obj, count, ef, gf, removed = mle_diag_gmm_update(
+        MleDiagGmmOptions(), acc, str_to_gmm_flags("mvw"), g
+    )
+    assert removed == k - 1
+    assert g.num_gauss == 1
+
+
+def test_variance_flooring():
+    rng = np.random.default_rng(9)
+    from khg_tpu.gmm.diag_gmm import DiagGmm
+
+    g = DiagGmm(1, 2)
+    g.set_weights(np.ones(1, dtype=np.float32))
+    g.set_invvars_and_means(
+        np.ones((1, 2), dtype=np.float32), np.zeros((1, 2), dtype=np.float32)
+    )
+    g.compute_gconsts()
+    acc = AccumDiagGmm(1, 2, GMM_ALL)
+    # constant data -> zero variance -> must floor
+    for _ in range(30):
+        acc.accumulate_for_component(np.array([1.0, 1.0], np.float32), 0, 1.0)
+    opts = MleDiagGmmOptions(min_variance=0.01)
+    obj, count, ef, gf, rm = mle_diag_gmm_update(
+        opts, acc, str_to_gmm_flags("mvw"), g
+    )
+    assert ef == 2 and gf == 1
+    np.testing.assert_allclose(g.get_vars()[0], [0.01, 0.01], rtol=1e-5)
+
+
+def test_map_update_shrinks_toward_prior():
+    rng = np.random.default_rng(10)
+    from khg_tpu.gmm.diag_gmm import DiagGmm
+
+    g = DiagGmm(1, 2)
+    g.set_weights(np.ones(1, dtype=np.float32))
+    g.set_invvars_and_means(
+        np.ones((1, 2), dtype=np.float32), np.zeros((1, 2), dtype=np.float32)
+    )
+    g.compute_gconsts()
+    acc = AccumDiagGmm(1, 2, GMM_ALL)
+    data = rng.standard_normal((20, 2)).astype(np.float32) + 3.0
+    for x in data:
+        acc.accumulate_from_diag(g, x, 1.0)
+    opts = MapDiagGmmOptions(mean_tau=10.0)
+    map_diag_gmm_update(opts, acc, str_to_gmm_flags("mv"), g)
+    mean = g.get_means()[0]
+    sample_mean = data.mean(axis=0)
+    # MAP mean = (sum_x) / (occ + tau): strictly between 0 and sample mean
+    assert np.all(mean > 0.1) and np.all(mean < sample_mean)
+
+
+def test_boost_silence():
+    lp, topo, tree, tm, gc = build_yesno_like()
+    rng = np.random.default_rng(11)
+    am = random_am(tree.num_pdfs, 4, rng, max_mix=2)
+    boosted = gmm_boost_silence(am, tm, [lp.get_sil_phone_id()], boost=2.0)
+    # silence pdfs are 0..4 (5-state sil); weights doubled there
+    for p in range(5):
+        np.testing.assert_allclose(
+            boosted.get_pdf(p).weights, am.get_pdf(p).weights * 2.0, rtol=1e-6
+        )
+    for p in range(5, tree.num_pdfs):
+        np.testing.assert_allclose(
+            boosted.get_pdf(p).weights, am.get_pdf(p).weights, rtol=1e-6
+        )
+    # original untouched
+    assert not np.allclose(boosted.get_pdf(0).weights, am.get_pdf(0).weights)
