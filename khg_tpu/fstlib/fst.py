@@ -645,40 +645,34 @@ def equal_align(
     length: int,
     rng: np.random.Generator,
 ) -> Optional[Tuple[List[int], List[int], float]]:
-    """Random path with exactly ``length`` emitting (ilabel != 0) arcs.
+    """Random path with exactly ``length`` emitting (ilabel != 0) arcs,
+    with frames distributed EVENLY along the path.
 
-    Returns (ilabels, olabels, cost) or None if infeasible.  Unlike the
-    reference's retry-based EqualAlign (kaldifst), this computes an exact
-    feasibility DP first, so it never fails when a path exists and is fully
-    reproducible from the generator.
+    Samples a random "skeleton" path (no self-loops) whose emitting length
+    fits within ``length``, then spreads the remaining frames as evenly as
+    possible over the path's self-loop-capable states.  This is the flat
+    -start initial segmentation: roughly uniform state durations, which is
+    what "equal align" means semantically (cf. kaldifst.equal_align; the
+    retry-based random walk there has the same intent).
+
+    Returns (ilabels, olabels, cost) or None if infeasible.  Exact
+    feasibility DP: never fails when a path exists; reproducible from
+    ``rng``.
     """
     n = fst.num_states
     if fst.start == NO_STATE:
         return None
-    # feasible[k][s]: from s with k frames remaining, can we reach a final
-    # state?  Built backward over k with an epsilon fixpoint per level.
+
+    def is_self_loop(s: int, a: Arc) -> bool:
+        return a.nextstate == s and a.ilabel != 0
+
+    # feasible[k][s]: a skeleton path (no self-loop arcs) from s can reach a
+    # final state consuming BETWEEN 0 and k emitting arcs, i.e. min skeleton
+    # length <= k.  Epsilon arcs consume nothing.
     feasible = np.zeros((length + 1, n), dtype=bool)
-    # k = 0 level: eps-reach a final state
     level = np.array([fst.final[s] != INF for s in range(n)], dtype=bool)
-    changed = True
-    while changed:
-        changed = False
-        for s in range(n):
-            if level[s]:
-                continue
-            for a in fst.arcs[s]:
-                if a.ilabel == 0 and level[a.nextstate]:
-                    level[s] = True
-                    changed = True
-                    break
-    feasible[0] = level
-    for k in range(1, length + 1):
-        level = np.zeros(n, dtype=bool)
-        for s in range(n):
-            for a in fst.arcs[s]:
-                if a.ilabel != 0 and feasible[k - 1][a.nextstate]:
-                    level[s] = True
-                    break
+
+    def eps_fix(level):
         changed = True
         while changed:
             changed = False
@@ -690,23 +684,157 @@ def equal_align(
                         level[s] = True
                         changed = True
                         break
-        feasible[k] = level
+        return level
+
+    feasible[0] = eps_fix(level.copy())
+    for k in range(1, length + 1):
+        level = feasible[k - 1].copy()  # "<= k" includes "<= k-1"
+        for s in range(n):
+            if level[s]:
+                continue
+            for a in fst.arcs[s]:
+                if (
+                    a.ilabel != 0
+                    and not is_self_loop(s, a)
+                    and feasible[k - 1][a.nextstate]
+                ):
+                    level[s] = True
+                    break
+        feasible[k] = eps_fix(level)
 
     if not feasible[length][fst.start]:
         return None
 
+    # ---- sample the skeleton path
+    # steps: list of (arc, emitting?, state_if_emitting)
+    path: List[Tuple[Arc, int]] = []
+    s = fst.start
+    k = length
+    eps_run = 0
+    while True:
+        may_stop = fst.final[s] != INF and (
+            k == 0 or _has_self_loop_on_path(path, fst)
+        )
+        options = []
+        for a in fst.arcs[s]:
+            if is_self_loop(s, a):
+                continue
+            if a.ilabel != 0:
+                if k > 0 and feasible[k - 1][a.nextstate]:
+                    options.append((a, 1))
+            else:
+                if feasible[k][a.nextstate] and eps_run < n + 1:
+                    options.append((a, 0))
+        if may_stop and (not options or rng.random() < 0.5):
+            final_cost = fst.final[s]
+            break
+        if not options:
+            # dead end can only happen if we relied on self-loop absorption
+            # but none exists; feasibility guaranteed only for k reachable
+            # exactly -- retry with exact-fit semantics
+            return _equal_align_exact(fst, length, rng)
+        a, consumes = options[int(rng.integers(len(options)))]
+        path.append((a, consumes))
+        eps_run = 0 if consumes else eps_run + 1
+        k -= consumes
+        s = a.nextstate
+
+    # ---- distribute remaining k frames over self-loop states on the path
+    # reorder-style graphs attach the self-loop to the DESTINATION state of
+    # each emitting arc.
+    slots = []  # indices into path where the destination has a self-loop
+    loop_arc_of: List[Optional[Arc]] = []
+    for i, (a, consumes) in enumerate(path):
+        loop = None
+        if consumes:
+            dst = a.nextstate
+            for b in fst.arcs[dst]:
+                if is_self_loop(dst, b):
+                    loop = b
+                    break
+        loop_arc_of.append(loop)
+        if loop is not None:
+            slots.append(i)
+    if k > 0 and not slots:
+        return _equal_align_exact(fst, length, rng)
+    extras = [0] * len(path)
+    if slots:
+        base, rem = divmod(k, len(slots))
+        for j, i in enumerate(slots):
+            extras[i] = base + (1 if j < rem else 0)
+
+    ilabels: List[int] = []
+    olabels: List[int] = []
+    cost = 0.0
+    for i, (a, consumes) in enumerate(path):
+        if a.ilabel != 0:
+            ilabels.append(a.ilabel)
+        if a.olabel != 0:
+            olabels.append(a.olabel)
+        cost += a.weight
+        loop = loop_arc_of[i]
+        for _ in range(extras[i]):
+            ilabels.append(loop.ilabel)
+            if loop.olabel != 0:
+                olabels.append(loop.olabel)
+            cost += loop.weight
+    cost += final_cost
+    assert len(ilabels) == length
+    return ilabels, olabels, cost
+
+
+def _has_self_loop_on_path(path, fst) -> bool:
+    for a, consumes in path:
+        if consumes:
+            dst = a.nextstate
+            for b in fst.arcs[dst]:
+                if b.nextstate == dst and b.ilabel != 0:
+                    return True
+    return False
+
+
+def _equal_align_exact(
+    fst: VectorFst, length: int, rng: np.random.Generator
+) -> Optional[Tuple[List[int], List[int], float]]:
+    """Fallback: random walk over ALL arcs with exact-length feasibility
+    (handles graphs without self-loops, e.g. pre-expansion FSAs)."""
+    n = fst.num_states
+    feasible = np.zeros((length + 1, n), dtype=bool)
+    level = np.array([fst.final[s] != INF for s in range(n)], dtype=bool)
+
+    def eps_fix(level):
+        changed = True
+        while changed:
+            changed = False
+            for s in range(n):
+                if level[s]:
+                    continue
+                for a in fst.arcs[s]:
+                    if a.ilabel == 0 and level[a.nextstate]:
+                        level[s] = True
+                        changed = True
+                        break
+        return level
+
+    feasible[0] = eps_fix(level.copy())
+    for k in range(1, length + 1):
+        level = np.zeros(n, dtype=bool)
+        for s in range(n):
+            for a in fst.arcs[s]:
+                if a.ilabel != 0 and feasible[k - 1][a.nextstate]:
+                    level[s] = True
+                    break
+        feasible[k] = eps_fix(level)
+    if not feasible[length][fst.start]:
+        return None
     ilabels: List[int] = []
     olabels: List[int] = []
     cost = 0.0
     s = fst.start
     k = length
-    # Walk forward, choosing uniformly among feasibility-preserving arcs.
-    # Cap epsilon runs to avoid infinite eps loops (feasibility already
-    # guarantees an emitting arc is reachable).
     eps_run = 0
     while True:
         if k == 0 and fst.final[s] != INF:
-            # may stop, or continue along eps arcs; prefer stopping
             cost += fst.final[s]
             break
         options = []
@@ -719,7 +847,8 @@ def equal_align(
                     options.append((a, 0))
         assert options, "feasibility DP violated"
         a, consumes = options[int(rng.integers(len(options)))]
-        ilabels.append(a.ilabel) if a.ilabel != 0 else None
+        if a.ilabel != 0:
+            ilabels.append(a.ilabel)
         if a.olabel != 0:
             olabels.append(a.olabel)
         cost += a.weight

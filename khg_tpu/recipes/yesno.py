@@ -56,28 +56,47 @@ def make_synthetic_corpus(
     max_words: int = 6,
     frames_per_state: Tuple[int, int] = (2, 6),
     emission_std: float = 0.35,
+    sil_between_words: float = 1.0,
+    allow_repeats: bool = False,
 ) -> Tuple[Lexiconp, SyntheticCorpus]:
-    """Yesno-style corpus drawn from distinct per-(phone,state) Gaussians."""
+    """Yesno-style corpus drawn from distinct per-(phone,state) Gaussians.
+
+    By default word sequences have no consecutive repeats and silence
+    always separates words: with identical per-word emitters, "YES YES"
+    without silence is acoustically indistinguishable from a single
+    longer "YES" (an inherent HMM ambiguity), which would make exact
+    decoding WER ill-defined.
+    """
     if rng is None:
         rng = np.random.default_rng(0)
     lexicon = Lexicon(word2phones={"<SIL>": ["SIL"], "YES": ["Y"], "NO": ["N"]})
     lp = Lexiconp.from_lexicon(lexicon).add_lex_disambig()
 
-    # hidden emitters: mean vectors for each (phone, state)
+    # hidden emitters: mean vectors for each (phone, state).  Silence is
+    # quiet (small means), like real silence — this anchors the SIL pdfs
+    # during flat-start EM exactly as low-energy frames do on real audio;
+    # with silence as loud as words, EM can settle into a stable
+    # phone-rotation local optimum that no amount of training escapes.
     num_states = {"SIL": 5, "Y": 3, "N": 3}
     emitters: Dict[Tuple[str, int], np.ndarray] = {}
     for ph, ns in num_states.items():
+        scale = 0.3 if ph == "SIL" else 2.0
         for s in range(ns):
-            emitters[(ph, s)] = rng.standard_normal(dim) * 2.0
+            emitters[(ph, s)] = rng.standard_normal(dim) * scale
 
     word_seqs, feats, phone_alis = [], [], []
     for _ in range(num_utts):
         n_words = int(rng.integers(min_words, max_words + 1))
-        words = [str(rng.choice(["YES", "NO"])) for _ in range(n_words)]
+        words: List[str] = []
+        for _ in range(n_words):
+            choices = ["YES", "NO"]
+            if not allow_repeats and words:
+                choices = [w for w in choices if w != words[-1]]
+            words.append(str(rng.choice(choices)))
         phones: List[str] = ["SIL"]
         for w in words:
             phones.extend({"YES": ["Y"], "NO": ["N"]}[w])
-            if rng.random() < 0.3:
+            if rng.random() < sil_between_words:
                 phones.append("SIL")
         if phones[-1] != "SIL":
             phones.append("SIL")
@@ -86,8 +105,11 @@ def make_synthetic_corpus(
         for ph in phones:
             for s in range(num_states[ph]):
                 n = int(rng.integers(*frames_per_state))
-                if ph != "SIL":
-                    n = max(n, 1)
+                if ph == "SIL":
+                    # real silences are long relative to words, which is what
+                    # anchors the silence pdfs during flat-start EM
+                    n = 2 * n + 1
+                n = max(n, 1)
                 for _ in range(n):
                     frames.append(
                         emitters[(ph, s)]
