@@ -90,18 +90,16 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
 
     put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
     gconsts, miv, iv = (put(x) for x in problem["model"])
-    graphs = tuple(put(a) for a in problem["graphs"])
+    graphs = jax.tree.map(put, problem["graphs"])
     feats = put(problem["feats"])
     lens = put(problem["lens"])
     id2pdf = put(problem["id2pdf"])
 
     @jax.jit
-    def estep(gconsts, miv, iv, in_src, in_tid, in_pdf, in_cost,
-              init_cost, final_cost, feats, lens, id2pdf):
+    def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
         ll = gmm_loglikes(gconsts, miv, iv, feats)
         res = viterbi_align_batch(
-            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
-            ll, lens, id2pdf, acoustic_scale=acoustic_scale,
+            graphs, ll, lens, id2pdf, acoustic_scale=acoustic_scale,
         )
         T = feats.shape[1]
         fw = (
@@ -110,7 +108,7 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
         stats = accumulate_am_stats(gconsts, miv, iv, feats, id2pdf[res.tids], fw)
         return res.tids, stats.occ, stats.mean_acc, stats.var_acc, stats.tot_log_like
 
-    args = (gconsts, miv, iv, *graphs, feats, lens, id2pdf)
+    args = (gconsts, miv, iv, graphs, feats, lens, id2pdf)
     out = estep(*args)  # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -129,7 +127,7 @@ def main():
 
     default_dev = jax.devices()[0]
     on_tpu = default_dev.platform != "cpu"
-    secs, out = run_estep(problem, default_dev, iters=5 if on_tpu else 2)
+    secs, out = run_estep(problem, default_dev, iters=50 if on_tpu else 2)
     value = audio_seconds / secs
 
     vs_baseline = None

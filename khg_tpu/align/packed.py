@@ -21,7 +21,7 @@ from __future__ import annotations
 import heapq
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -34,10 +34,14 @@ BIG = np.float32(1.0e30)  # finite stand-in for +inf (inf poisons arithmetic)
 class PackedGraph:
     """Dense per-utterance graph tensors (numpy, host side).
 
-    in_src:  (S, M) int32 source state of each incoming arc (0 padding)
-    in_tid:  (S, M) int32 transition-id (0 padding)
-    in_pdf:  (S, M) int32 pdf-id of the tid (0 padding)
-    in_cost: (S, M) float32 graph cost incl. absorbed eps prefix (BIG padding)
+    Incoming-arc table (for forward passes / Viterbi):
+      in_src:  (S, M) int32 source state of each incoming arc (0 padding)
+      in_tid:  (S, M) int32 transition-id (0 padding)
+      in_pdf:  (S, M) int32 pdf-id of the tid (0 padding)
+      in_cost: (S, M) float32 graph cost incl. absorbed eps prefix (BIG pad)
+    Outgoing-arc table (same effective arcs grouped by source, for the
+    backward pass of Baum-Welch):
+      out_dst/out_tid/out_pdf/out_cost: (S, Mo)
     init_cost:  (S,) float32 cost from the start state via eps paths
     final_cost: (S,) float32 cost to finality via eps paths
     """
@@ -46,6 +50,10 @@ class PackedGraph:
     in_tid: np.ndarray
     in_pdf: np.ndarray
     in_cost: np.ndarray
+    out_dst: np.ndarray
+    out_tid: np.ndarray
+    out_pdf: np.ndarray
+    out_cost: np.ndarray
     init_cost: np.ndarray
     final_cost: np.ndarray
 
@@ -56,6 +64,25 @@ class PackedGraph:
     @property
     def max_in_degree(self) -> int:
         return self.in_src.shape[1]
+
+    @property
+    def max_out_degree(self) -> int:
+        return self.out_dst.shape[1]
+
+
+class BatchedGraphs(NamedTuple):
+    """Batch-stacked PackedGraphs (leading axis B), device-ready."""
+
+    in_src: np.ndarray
+    in_tid: np.ndarray
+    in_pdf: np.ndarray
+    in_cost: np.ndarray
+    out_dst: np.ndarray
+    out_tid: np.ndarray
+    out_pdf: np.ndarray
+    out_cost: np.ndarray
+    init_cost: np.ndarray
+    final_cost: np.ndarray
 
 
 def _eps_closure_costs(fst: VectorFst) -> List[Dict[int, float]]:
@@ -96,10 +123,12 @@ def pack_graph(
     assert fst.start != -1
     closure = _eps_closure_costs(fst)
 
-    # init / final costs through epsilon paths
+    # Initial mass sits ONLY at the start state: epsilon prefixes are
+    # absorbed into the composite arcs below, and placing closure mass at
+    # every eps-reachable state as well would double-count first-frame
+    # paths under the sum semiring (forward-backward).
     init_cost = np.full(n, BIG, dtype=np.float32)
-    for t, d in closure[fst.start].items():
-        init_cost[t] = min(init_cost[t], d)
+    init_cost[fst.start] = 0.0
     final_cost = np.full(n, BIG, dtype=np.float32)
     for s in range(n):
         best = math.inf
@@ -117,8 +146,12 @@ def pack_graph(
                 if a.ilabel == 0:
                     continue
                 incoming[a.nextstate].append((s, a.ilabel, d + a.weight))
-    # dedup, keeping min cost per (src, tid)
+    # dedup, keeping min cost per (src, tid).  NOTE: in the log semiring
+    # (forward-backward) parallel eps paths should strictly log-add; min is
+    # the tropical view, an approximation that is exact whenever eps paths
+    # are unique (the common case after determinization).
     M = min_in_degree_pad
+    outgoing: List[List[Tuple[int, int, float]]] = [[] for _ in range(n)]
     for v in range(n):
         best: Dict[Tuple[int, int], float] = {}
         for s, tid, c in incoming[v]:
@@ -127,6 +160,9 @@ def pack_graph(
                 best[key] = c
         incoming[v] = sorted((s, tid, c) for (s, tid), c in best.items())
         M = max(M, len(incoming[v]))
+        for s, tid, c in incoming[v]:
+            outgoing[s].append((v, tid, c))
+    Mo = max(max((len(o) for o in outgoing), default=1), 1)
 
     in_src = np.zeros((n, M), dtype=np.int32)
     in_tid = np.zeros((n, M), dtype=np.int32)
@@ -138,20 +174,32 @@ def pack_graph(
             in_tid[v, m] = tid
             in_pdf[v, m] = id2pdf[tid]
             in_cost[v, m] = c
-    return PackedGraph(in_src, in_tid, in_pdf, in_cost, init_cost, final_cost)
+    out_dst = np.zeros((n, Mo), dtype=np.int32)
+    out_tid = np.zeros((n, Mo), dtype=np.int32)
+    out_pdf = np.zeros((n, Mo), dtype=np.int32)
+    out_cost = np.full((n, Mo), BIG, dtype=np.float32)
+    for s in range(n):
+        for m, (v, tid, c) in enumerate(sorted(outgoing[s])):
+            out_dst[s, m] = v
+            out_tid[s, m] = tid
+            out_pdf[s, m] = id2pdf[tid]
+            out_cost[s, m] = c
+    return PackedGraph(
+        in_src, in_tid, in_pdf, in_cost,
+        out_dst, out_tid, out_pdf, out_cost,
+        init_cost, final_cost,
+    )
 
 
 def pack_graph_batch(
     graphs: Sequence[PackedGraph],
     states_pad_to: int = 1,
     indeg_pad_to: int = 1,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> BatchedGraphs:
     """Stack PackedGraphs, padding states/in-degree to the batch max
     (optionally rounded up so bucketed shapes recompile rarely).
 
-    Returns (in_src, in_tid, in_pdf, in_cost, init_cost, final_cost) with a
-    leading batch axis.  Padding states are unreachable (init BIG, no real
-    incoming arcs).
+    Padding states are unreachable (init BIG, no real incoming arcs).
     """
 
     def round_up(x, m):
@@ -159,19 +207,32 @@ def pack_graph_batch(
 
     S = round_up(max(g.num_states for g in graphs), states_pad_to)
     M = round_up(max(g.max_in_degree for g in graphs), indeg_pad_to)
+    Mo = round_up(max(g.max_out_degree for g in graphs), indeg_pad_to)
     B = len(graphs)
     in_src = np.zeros((B, S, M), dtype=np.int32)
     in_tid = np.zeros((B, S, M), dtype=np.int32)
     in_pdf = np.zeros((B, S, M), dtype=np.int32)
     in_cost = np.full((B, S, M), BIG, dtype=np.float32)
+    out_dst = np.zeros((B, S, Mo), dtype=np.int32)
+    out_tid = np.zeros((B, S, Mo), dtype=np.int32)
+    out_pdf = np.zeros((B, S, Mo), dtype=np.int32)
+    out_cost = np.full((B, S, Mo), BIG, dtype=np.float32)
     init_cost = np.full((B, S), BIG, dtype=np.float32)
     final_cost = np.full((B, S), BIG, dtype=np.float32)
     for b, g in enumerate(graphs):
-        s, m = g.num_states, g.max_in_degree
+        s, m, mo = g.num_states, g.max_in_degree, g.max_out_degree
         in_src[b, :s, :m] = g.in_src
         in_tid[b, :s, :m] = g.in_tid
         in_pdf[b, :s, :m] = g.in_pdf
         in_cost[b, :s, :m] = g.in_cost
+        out_dst[b, :s, :mo] = g.out_dst
+        out_tid[b, :s, :mo] = g.out_tid
+        out_pdf[b, :s, :mo] = g.out_pdf
+        out_cost[b, :s, :mo] = g.out_cost
         init_cost[b, :s] = g.init_cost
         final_cost[b, :s] = g.final_cost
-    return in_src, in_tid, in_pdf, in_cost, init_cost, final_cost
+    return BatchedGraphs(
+        in_src, in_tid, in_pdf, in_cost,
+        out_dst, out_tid, out_pdf, out_cost,
+        init_cost, final_cost,
+    )

@@ -88,12 +88,7 @@ def _viterbi_single(
 
 @functools.partial(jax.jit, static_argnames=("acoustic_scale",))
 def viterbi_align_batch(
-    in_src: jnp.ndarray,     # (B, S, M)
-    in_tid: jnp.ndarray,     # (B, S, M)
-    in_pdf: jnp.ndarray,     # (B, S, M)
-    in_cost: jnp.ndarray,    # (B, S, M)
-    init_cost: jnp.ndarray,  # (B, S)
-    final_cost: jnp.ndarray,  # (B, S)
+    graphs,                   # BatchedGraphs (leading axis B)
     loglikes: jnp.ndarray,   # (B, T, P)
     num_frames: jnp.ndarray,  # (B,) int32
     id2pdf: jnp.ndarray,     # (num_tids+1,) int32
@@ -103,7 +98,8 @@ def viterbi_align_batch(
     tids, total_cost, failed = jax.vmap(
         _viterbi_single, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
     )(
-        in_src, in_pdf, in_cost, in_tid, init_cost, final_cost,
+        graphs.in_src, graphs.in_pdf, graphs.in_cost, graphs.in_tid,
+        graphs.init_cost, graphs.final_cost,
         loglikes, num_frames, acoustic_scale,
     )
     # scaled acoustic cost of the chosen path

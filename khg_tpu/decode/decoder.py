@@ -192,10 +192,10 @@ def decode_dense(
     from khg_tpu.align.viterbi import viterbi_align_batch
 
     packed = pack_graph(hclg, id2pdf)
-    arrays = pack_graph_batch([packed])
+    graphs = pack_graph_batch([packed])
     T = loglikes.shape[0]
     res = viterbi_align_batch(
-        *arrays,
+        graphs,
         loglikes[None],
         np.array([T], dtype=np.int32),
         id2pdf,

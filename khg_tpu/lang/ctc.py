@@ -1,0 +1,101 @@
+"""CTC topology as an FST alternative to HMM topologies.
+
+Builds the fully-connected CTC topology over token ids (blank = 0),
+shifts labels by one to resolve the blank-vs-epsilon conflict, and adds
+disambiguation self-loops for composition with L.
+
+Reference semantics: /root/reference/scripts/ctc_topo.py:6-105.  The
+"decodable" for CTC is a (T, vocab) log-softmax matrix; with the +1 label
+shift, ilabel i scores log_softmax[t, i-1] — expressed here as the
+identity-minus-one ``id2pdf`` map consumed by the decoders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from khg_tpu.fstlib.fst import Arc, VectorFst
+
+
+def build_standard_ctc_topo(max_token_id: int) -> VectorFst:
+    """Fully-connected CTC topology; state i = "last emitted token i".
+
+    Self-loops (repeats) output epsilon; label 0 is the blank.
+    """
+    num_states = max_token_id + 1
+    fst = VectorFst()
+    for i in range(num_states):
+        s = fst.add_state()
+        fst.set_final(s, 0.0)
+    fst.set_start(0)
+    for i in range(num_states):
+        for k in range(num_states):
+            fst.add_arc(i, Arc(k, k if i != k else 0, 0.0, k))
+    return fst
+
+
+def add_one(fst: VectorFst, treat_ilabel_zero_specially: bool) -> None:
+    """Shift labels by +1 (blank 0 would collide with epsilon), in place."""
+    for arcs in fst.arcs:
+        for a in arcs:
+            if not treat_ilabel_zero_specially or a.ilabel != 0:
+                a.ilabel += 1
+            if a.olabel != 0:
+                a.olabel += 1
+
+
+def add_disambig_self_loops(fst: VectorFst, start: int, end: int) -> None:
+    """Self-loop (eps : disambig-id) on every state for ids start..end."""
+    for s in range(fst.num_states):
+        for i in range(start, end + 1):
+            fst.add_arc(s, Arc(0, i, 0.0, s))
+
+
+def ctc_id2pdf(vocab_size: int) -> np.ndarray:
+    """(vocab_size+1,) map: shifted ilabel i -> log-softmax column i-1."""
+    arr = np.arange(-1, vocab_size, dtype=np.int32)
+    return arr
+
+
+def build_ctc_training_graph(
+    tokens: list, vocab_size: int
+) -> VectorFst:
+    """CTC alignment graph for a token sequence (blank-insertion form).
+
+    States follow the standard CTC lattice: optional blank between tokens,
+    repeated tokens require a separating blank.  Input labels are
+    SHIFTED token ids (token t -> t+1, blank -> 1) so label 0 stays
+    epsilon-free; use ``ctc_id2pdf`` to map them onto log-softmax columns.
+    """
+    blank = 0
+    fst = VectorFst()
+    # interleave blanks: B t1 B t2 B ... tn B
+    seq = [blank]
+    for t in tokens:
+        seq.extend([t, blank])
+    n = len(seq)
+    states = [fst.add_state() for _ in range(n + 1)]
+    fst.set_start(states[0])
+    fst.set_final(states[n], 0.0)
+    if n >= 2:
+        fst.set_final(states[n - 1], 0.0)  # may end on last token
+
+    def lab(tok):
+        return tok + 1
+
+    for i, tok in enumerate(seq):
+        # self-loop (stay on this symbol)
+        fst.add_arc(states[i], Arc(lab(tok), 0, 0.0, states[i]))
+        # advance
+        olabel = tok + 1 if tok != blank else 0
+        fst.add_arc(states[i], Arc(lab(tok), olabel, 0.0, states[i + 1]))
+        # skip the following blank when the next-next token differs
+        if tok != blank and i + 2 < n and seq[i + 2] != tok:
+            fst.add_arc(states[i], Arc(lab(tok), olabel, 0.0, states[i + 2]))
+    # the leading blank is optional: the start state also offers the first
+    # token's arcs (paths may begin at lattice position 0 or 1)
+    if len(tokens) > 0:
+        for a in list(fst.arcs[states[1]]):
+            dst = states[1] if a.nextstate == states[1] else a.nextstate
+            fst.add_arc(states[0], Arc(a.ilabel, a.olabel, a.weight, dst))
+    return fst

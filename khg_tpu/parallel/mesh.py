@@ -134,12 +134,10 @@ def sharded_em_step(
 
     def step(model, graphs, feats, num_frames, id2pdf):
         gconsts, miv, iv, weights = model
-        in_src, in_tid, in_pdf, in_cost, init_cost, final_cost = graphs
 
         ll = gmm_loglikes(gconsts, miv, iv, feats)
         res = viterbi_align_batch(
-            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
-            ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
+            graphs, ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
         )
         T = feats.shape[1]
         frame_weights = (
@@ -164,15 +162,17 @@ def sharded_em_step(
             tot_ll, tot_frames, ng, nmiv, niv, nw,
         )
 
+    from khg_tpu.align.packed import BatchedGraphs
+
     sharded = shard_map(
         step,
         mesh=mesh,
         in_specs=(
-            (rep, rep, rep, rep),          # model replicated
-            (dp, dp, dp, dp, dp, dp),      # graphs sharded over batch
-            dp,                            # feats
-            dp,                            # num_frames
-            rep,                           # id2pdf
+            (rep, rep, rep, rep),               # model replicated
+            BatchedGraphs(*([dp] * 10)),        # graphs sharded over batch
+            dp,                                 # feats
+            dp,                                 # num_frames
+            rep,                                # id2pdf
         ),
         out_specs=EmStepResult(
             dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep

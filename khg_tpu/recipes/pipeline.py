@@ -129,7 +129,7 @@ class EStepPipeline:
                 t = feats[i].shape[0]
                 bfeats[j, :t] = feats[i]
                 lens[j] = t
-            in_src, in_tid, in_pdf, in_cost, init_cost, final_cost = pack_graph_batch(
+            graphs = pack_graph_batch(
                 [packed_graphs[i] for i in idx],
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
@@ -138,8 +138,7 @@ class EStepPipeline:
                 model.gconsts, model.means_invvars, model.inv_vars, bfeats
             )
             res = viterbi_align_batch(
-                in_src, in_tid, in_pdf, in_cost, init_cost, final_cost,
-                ll, lens, self.id2pdf, acoustic_scale=self.acoustic_scale,
+                graphs, ll, lens, self.id2pdf, acoustic_scale=self.acoustic_scale,
             )
             tids = np.asarray(res.tids)
             total_cost = np.asarray(res.total_cost)
@@ -181,6 +180,70 @@ class EStepPipeline:
                     tids[ok], lens[ok], self.tm.num_transition_ids
                 )
         return AlignmentResult(alignments, tot_like, num_done, num_error, frame_count)
+
+    def accumulate_forward_backward(
+        self,
+        am: AmDiagGmm,
+        packed_graphs: Sequence[PackedGraph],
+        feats: Sequence[np.ndarray],
+        gmm_accs: AccumAmDiagGmm,
+        transition_accs: Optional[np.ndarray] = None,
+    ) -> float:
+        """Soft E-step: Baum-Welch posteriors instead of a hard alignment.
+
+        Returns the total data log-likelihood (sum of per-utterance log Z).
+        """
+        from khg_tpu.align.forward_backward import forward_backward_batch
+        from khg_tpu.stats.accum import accumulate_am_stats_soft
+
+        assert len(packed_graphs) == len(feats)
+        model = am.pack(mix_pad_to=self.mix_pad)
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        total_log_z = 0.0
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
+            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
+            lens = np.zeros(len(idx), dtype=np.int32)
+            for j, i in enumerate(idx):
+                t = feats[i].shape[0]
+                bfeats[j, :t] = feats[i]
+                lens[j] = t
+            graphs = pack_graph_batch(
+                [packed_graphs[i] for i in idx],
+                states_pad_to=self.states_pad,
+                indeg_pad_to=self.indeg_pad,
+            )
+            from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+
+            ll = gmm_loglikes(
+                model.gconsts, model.means_invvars, model.inv_vars, bfeats
+            )
+            fb = forward_backward_batch(
+                graphs, ll, lens, self.tm.num_transition_ids,
+                acoustic_scale=self.acoustic_scale,
+            )
+            failed = np.asarray(fb.failed)
+            gamma = np.array(fb.gamma)  # copy: zero out failed utterances
+            gamma[failed] = 0.0
+            total_log_z += float(np.sum(np.asarray(fb.log_z)[~failed]))
+            stats = accumulate_am_stats_soft(
+                model.gconsts, model.means_invvars, model.inv_vars,
+                bfeats, gamma,
+            )
+            gmm_accs.add_dense(
+                np.asarray(stats.occ),
+                np.asarray(stats.mean_acc),
+                np.asarray(stats.var_acc),
+                float(stats.tot_log_like),
+                float(stats.tot_frames),
+            )
+            if transition_accs is not None:
+                counts = np.array(fb.tid_counts)
+                counts[failed] = 0.0
+                transition_accs += counts.sum(axis=0)
+        return total_log_z
 
     def accumulate_from_alignments(
         self,

@@ -250,6 +250,48 @@ def accumulate_am_stats(
     return DenseStats(occ, mean_acc, var_acc, tot_log_like, tot_frames)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def accumulate_am_stats_soft(
+    gconsts: jnp.ndarray,        # (P, K)
+    means_invvars: jnp.ndarray,  # (P, K, D)
+    inv_vars: jnp.ndarray,       # (P, K, D)
+    feats: jnp.ndarray,          # (B, T, D)
+    gamma: jnp.ndarray,          # (B, T, P) per-frame pdf posteriors
+) -> DenseStats:
+    """Soft-EM (Baum-Welch) stats: every frame contributes to every pdf
+    weighted by its occupation posterior gamma[t, p].
+
+    Computes full per-component scores (B, T, P, K) — memory O(B·T·P·K),
+    fine for monophone-scale P; chunk the batch for big models.
+    """
+    from khg_tpu.gmm.likelihoods import component_scores
+
+    P, K, D = means_invvars.shape
+    B, T, _ = feats.shape
+    N = B * T
+    x = feats.reshape(N, D)
+    w = gamma.reshape(N, P)
+
+    scores = component_scores(gconsts, means_invvars, inv_vars, feats)
+    scores = scores.reshape(N, P, K)
+    post = jax.nn.softmax(scores, axis=-1) * w[..., None]  # (N, P, K)
+    # total log-like under the soft alignment: sum_t sum_p gamma * loglike
+    ll = jax.nn.logsumexp(scores, axis=-1)  # (N, P)
+    tot_log_like = jnp.sum(jnp.where(w > 0, ll * w, 0.0))
+
+    hi = jax.lax.Precision.HIGHEST
+    occ = jnp.sum(post, axis=0)  # (P, K)
+    xw = jnp.concatenate([x, jnp.square(x)], axis=1)  # (N, 2D)
+    pkx = jnp.einsum(
+        "npk,nd->pkd", post, xw, preferred_element_type=jnp.float32,
+        precision=hi,
+    )
+    mean_acc = pkx[..., :D]
+    var_acc = pkx[..., D:]
+    tot_frames = jnp.sum(w)
+    return DenseStats(occ, mean_acc, var_acc, tot_log_like, tot_frames)
+
+
 def accumulate_transition_stats(
     tids: np.ndarray, num_frames: np.ndarray, num_tids: int
 ) -> np.ndarray:

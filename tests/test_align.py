@@ -111,7 +111,7 @@ def test_device_viterbi_matches_host(setup):
 
     arrays = pack_graph_batch([packed])
     res = viterbi_align_batch(
-        *arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=0.5
+        arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=0.5
     )
     tids = np.asarray(res.tids)[0]
     got_cost = float(np.asarray(res.total_cost)[0])
@@ -144,7 +144,7 @@ def test_batch_variable_lengths(setup):
     ll = loglikes_np(model, feats)
     arrays = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
     res = viterbi_align_batch(
-        *arrays, ll, np.array(lens, dtype=np.int32), id2pdf, acoustic_scale=0.5
+        arrays, ll, np.array(lens, dtype=np.int32), id2pdf, acoustic_scale=0.5
     )
     for i in range(3):
         assert not bool(np.asarray(res.failed)[i])
@@ -185,7 +185,7 @@ def test_infeasible_length_fails(setup):
     ll = loglikes_np(model, feats)
     arrays = pack_graph_batch([packed])
     res = viterbi_align_batch(
-        *arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=0.5
+        arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=0.5
     )
     assert bool(np.asarray(res.failed)[0])
 
@@ -202,7 +202,7 @@ def test_acoustic_cost_decomposition(setup):
     arrays = pack_graph_batch([packed])
     scale = 0.1
     res = viterbi_align_batch(
-        *arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=scale
+        arrays, ll, np.array([T], dtype=np.int32), id2pdf, acoustic_scale=scale
     )
     tids = np.asarray(res.tids)[0]
     expected_ac = -scale * sum(

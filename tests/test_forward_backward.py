@@ -1,0 +1,170 @@
+import math
+
+import numpy as np
+import pytest
+
+from khg_tpu.align.forward_backward import forward_backward_batch
+from khg_tpu.align.packed import pack_graph, pack_graph_batch
+from khg_tpu.align.viterbi import viterbi_align_batch
+from khg_tpu.gmm.likelihoods import loglikes_np
+from tests.test_align import aligned_graph, random_am, setup  # noqa: F401
+
+
+def host_log_z(fst, loglikes, id2pdf, acoustic_scale):
+    """Brute-force log-sum over all complete paths with T frames."""
+    n = fst.num_states
+    NEG = -math.inf
+
+    # topological order of the (acyclic) epsilon subgraph, so each eps
+    # contribution is log-added exactly once
+    eps_succ = [[] for _ in range(n)]
+    indeg = [0] * n
+    for s in range(n):
+        for a in fst.arcs[s]:
+            if a.ilabel == 0:
+                eps_succ[s].append((a.nextstate, a.weight))
+                indeg[a.nextstate] += 1
+    topo = [s for s in range(n) if indeg[s] == 0]
+    qi = 0
+    while qi < len(topo):
+        s = topo[qi]
+        qi += 1
+        for v, _ in eps_succ[s]:
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                topo.append(v)
+    assert len(topo) == n, "eps cycle in test graph"
+
+    def eps_logadd(alpha):
+        for s in topo:
+            if alpha[s] == NEG:
+                continue
+            for v, w in eps_succ[s]:
+                alpha[v] = np.logaddexp(alpha[v], alpha[s] - w)
+        return alpha
+
+    alpha = [NEG] * n
+    alpha[fst.start] = 0.0
+    alpha = eps_logadd(alpha)
+    T = loglikes.shape[0]
+    for t in range(T):
+        na = [NEG] * n
+        for s in range(n):
+            if alpha[s] == NEG:
+                continue
+            for a in fst.arcs[s]:
+                if a.ilabel == 0:
+                    continue
+                v = (
+                    alpha[s]
+                    - a.weight
+                    + acoustic_scale * loglikes[t, id2pdf[a.ilabel]]
+                )
+                na[a.nextstate] = np.logaddexp(na[a.nextstate], v)
+        alpha = eps_logadd(na)
+    z = NEG
+    for s in range(n):
+        if fst.final[s] != math.inf and alpha[s] != NEG:
+            z = np.logaddexp(z, alpha[s] - fst.final[s])
+    return float(z)
+
+
+def test_fb_log_z_matches_host(setup):
+    lp, topo, tree, tm, gc, am, rng = setup
+    g = aligned_graph(gc, tm, [lp.word2id["YES"], lp.word2id["NO"]])
+    id2pdf = tm.id2pdf_array()
+    packed = pack_graph(g, id2pdf)
+    T = 15
+    feats = rng.standard_normal((1, T, 6)).astype(np.float32)
+    model = am.pack()
+    ll = loglikes_np(model, feats)
+    graphs = pack_graph_batch([packed])
+    res = forward_backward_batch(
+        graphs, ll, np.array([T], np.int32), tm.num_transition_ids,
+        acoustic_scale=0.5,
+    )
+    assert not bool(np.asarray(res.failed)[0])
+    expected = host_log_z(g, np.asarray(ll[0]), id2pdf, acoustic_scale=0.5)
+    assert math.isclose(float(np.asarray(res.log_z)[0]), expected, rel_tol=1e-4)
+
+
+def test_fb_gamma_is_distribution(setup):
+    lp, topo, tree, tm, gc, am, rng = setup
+    g = aligned_graph(gc, tm, [lp.word2id["NO"]])
+    id2pdf = tm.id2pdf_array()
+    packed = pack_graph(g, id2pdf)
+    T = 12
+    feats = rng.standard_normal((1, T, 6)).astype(np.float32)
+    model = am.pack()
+    ll = loglikes_np(model, feats)
+    graphs = pack_graph_batch([packed])
+    res = forward_backward_batch(
+        graphs, ll, np.array([T], np.int32), tm.num_transition_ids,
+        acoustic_scale=0.5,
+    )
+    gamma = np.asarray(res.gamma)[0]  # (T, P)
+    np.testing.assert_allclose(gamma.sum(axis=1), 1.0, rtol=1e-3)
+    assert np.all(gamma >= -1e-6)
+    # expected transition counts total T frames
+    tid_counts = np.asarray(res.tid_counts)[0]
+    assert math.isclose(tid_counts.sum(), T, rel_tol=1e-3)
+    assert tid_counts[0] == 0.0
+
+
+def test_fb_sharp_likelihoods_approach_viterbi(setup):
+    lp, topo, tree, tm, gc, am, rng = setup
+    g = aligned_graph(gc, tm, [lp.word2id["YES"]])
+    id2pdf = tm.id2pdf_array()
+    packed = pack_graph(g, id2pdf)
+    T = 9
+    feats = rng.standard_normal((1, T, 6)).astype(np.float32)
+    model = am.pack()
+    ll = loglikes_np(model, feats)
+    graphs = pack_graph_batch([packed])
+    # high acoustic scale -> posterior concentrates on the Viterbi path
+    scale = 8.0
+    vit = viterbi_align_batch(graphs, ll, np.array([T], np.int32), id2pdf,
+                              acoustic_scale=scale)
+    fb = forward_backward_batch(graphs, ll, np.array([T], np.int32),
+                                tm.num_transition_ids, acoustic_scale=scale)
+    vit_pdfs = id2pdf[np.asarray(vit.tids)[0]]
+    gamma = np.asarray(fb.gamma)[0]
+    # the Viterbi pdf dominates the posterior at every frame, and the
+    # posterior mass concentrates on it overall (ties with near-equal
+    # alternate paths keep individual frames below 1.0)
+    for t in range(T):
+        assert int(np.argmax(gamma[t])) == int(vit_pdfs[t]), (t, gamma[t])
+    assert float(np.mean(gamma[np.arange(T), vit_pdfs])) > 0.8
+
+
+def test_fb_variable_lengths(setup):
+    lp, topo, tree, tm, gc, am, rng = setup
+    id2pdf = tm.id2pdf_array()
+    gs = [
+        aligned_graph(gc, tm, [lp.word2id["YES"]]),
+        aligned_graph(gc, tm, [lp.word2id["NO"], lp.word2id["YES"]]),
+    ]
+    packed = [pack_graph(g, id2pdf) for g in gs]
+    lens = [8, 14]
+    feats = np.zeros((2, 14, 6), dtype=np.float32)
+    raw = [rng.standard_normal((t, 6)).astype(np.float32) for t in lens]
+    for i, f in enumerate(raw):
+        feats[i, : lens[i]] = f
+    model = am.pack()
+    ll = loglikes_np(model, feats)
+    graphs = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+    res = forward_backward_batch(
+        graphs, ll, np.array(lens, np.int32), tm.num_transition_ids,
+        acoustic_scale=0.5,
+    )
+    for i in range(2):
+        expected = host_log_z(
+            gs[i], np.asarray(ll[i, : lens[i]]), id2pdf, acoustic_scale=0.5
+        )
+        assert math.isclose(
+            float(np.asarray(res.log_z)[i]), expected, rel_tol=1e-4
+        ), i
+        gamma = np.asarray(res.gamma)[i, : lens[i]]
+        np.testing.assert_allclose(gamma.sum(axis=1), 1.0, rtol=1e-3)
+        # padding frames carry no mass
+        assert np.all(np.asarray(res.gamma)[i, lens[i]:] < 1e-5)
