@@ -332,6 +332,60 @@ class DiagGmm:
         self.inv_vars = self.inv_vars[keep]
         self.compute_gconsts()
 
+    def merge_kmeans(
+        self,
+        target_components: int,
+        rng: Optional[np.random.Generator] = None,
+    ) -> None:
+        """Merge components by k-means clustering of their Gaussian stats
+        (the clustering analogue of greedy pairwise merge)."""
+        from khg_tpu.est.cluster import (
+            ClusterKMeansOptions,
+            GaussClusterable,
+            cluster_kmeans,
+        )
+
+        if target_components <= 0 or self.num_gauss < target_components:
+            raise ValueError(
+                f"Cannot merge from {self.num_gauss} to {target_components}"
+            )
+        if self.num_gauss == target_components:
+            return
+        min_var = 1.0e-10
+        points = []
+        for g in range(self.num_gauss):
+            count = float(self.weights[g])
+            if count == 0:
+                logger.warning("Skipping zero-weight component in clustering")
+                continue
+            var = 1.0 / self.inv_vars[g]
+            mean = self.means_invvars[g] * var
+            x_stats = mean * count
+            x2_stats = (var + mean**2) * count
+            points.append(
+                GaussClusterable(
+                    x_stats.astype(np.float64),
+                    x2_stats.astype(np.float64),
+                    min_var,
+                    count,
+                )
+            )
+        if len(points) <= target_components:
+            logger.warning("Too few nonzero components; not clustering")
+            return
+        clusters, _, _ = cluster_kmeans(
+            points, target_components, ClusterKMeansOptions(), rng=rng
+        )
+        self.resize(len(clusters), self.dim)
+        for g, gc in enumerate(clusters):
+            self.weights[g] = gc.count
+            mean = gc.x_stats / gc.count
+            var = gc.x2_stats / gc.count - mean**2
+            inv_var = 1.0 / np.maximum(var, min_var)
+            self.inv_vars[g] = inv_var.astype(np.float32)
+            self.means_invvars[g] = (mean * inv_var).astype(np.float32)
+        self.compute_gconsts()
+
     def remove_components(self, indices: List[int], renorm_weights: bool) -> None:
         indices = sorted(set(indices))
         if self.num_gauss - len(indices) < 1:

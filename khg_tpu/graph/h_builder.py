@@ -370,6 +370,26 @@ def _add_self_loops_no_reorder(
     return fst
 
 
+def modify_graph_for_careful_alignment(fst: VectorFst) -> VectorFst:
+    """Concat the graph with a final-prob-stripped copy of itself.
+
+    'Careful' alignment: a path that reaches the end of the graph too early
+    and wraps around lands in the stripped copy, which has no final states,
+    so wrapped (bad) alignments fail instead of silently succeeding
+    (decoder-wrappers.cc:111-140).
+    """
+    from khg_tpu.fstlib.fst import Arc, concat
+
+    rhs = fst.copy()
+    for s in range(rhs.num_states):
+        rhs.final[s] = math.inf
+    pre_initial = rhs.add_state()
+    rhs.add_arc(pre_initial, Arc(0, 0, 0.0, rhs.start))
+    rhs.set_start(pre_initial)
+    rhs.set_final(pre_initial, 0.0)
+    return concat(fst, rhs)
+
+
 # --------------------------------------------------------- transition probs
 
 

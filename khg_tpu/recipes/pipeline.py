@@ -81,12 +81,18 @@ class EStepPipeline:
 
     # ------------------------------------------------------------- packing
 
-    def pack_graphs(self, graphs: Sequence[VectorFst]) -> List[PackedGraph]:
+    def pack_graphs(
+        self, graphs: Sequence[VectorFst], careful: bool = False
+    ) -> List[PackedGraph]:
         """Apply current transition probs (align-time scales) and pack.
 
         Mirrors gmm_align_compiled: scaled transition costs are ADDED to the
-        compile-time graph costs, on a copy.
+        compile-time graph costs, on a copy.  ``careful`` concatenates a
+        final-stripped copy so wrap-around alignments fail loudly
+        (AlignConfig.careful).
         """
+        from khg_tpu.graph.h_builder import modify_graph_for_careful_alignment
+
         id2pdf = self.tm.id2pdf_array()
         packed = []
         for g in graphs:
@@ -94,6 +100,8 @@ class EStepPipeline:
             add_transition_probs(
                 self.tm, gc, self.transition_scale, self.self_loop_scale
             )
+            if careful:
+                gc = modify_graph_for_careful_alignment(gc)
             packed.append(pack_graph(gc, id2pdf))
         return packed
 
