@@ -19,7 +19,6 @@ from khg_tpu.fstlib.fst import (
     minimize_encoded,
     remove_input_symbols,
 )
-from khg_tpu.graph.context import compose_context_monophone
 from khg_tpu.graph.h_builder import add_self_loops, get_h_transducer
 from khg_tpu.lang.lexicon import Lexiconp
 from khg_tpu.lang.lfst import make_lexicon_fst_with_silence
@@ -49,12 +48,15 @@ def build_hclg(
 
     disambig_ids = lexiconp_disambig.disambig_phone_ids()
     N, P = tree.context_width, tree.central_position
-    if N == 1 and P == 0:
-        CLG, ilabel_info = compose_context_monophone(
-            LG, transition_model.phones, disambig_ids
-        )
-    else:
-        raise NotImplementedError("wide-context decoding graphs not yet implemented")
+    from khg_tpu.graph.context import compose_context
+
+    phones = transition_model.phones
+    subseq = max(phones[-1] + 1, (max(disambig_ids) + 1) if disambig_ids else 0)
+    if P != N - 1:
+        from khg_tpu.fstlib.fst import add_subsequential_loop
+
+        add_subsequential_loop(subseq, LG)
+    CLG, ilabel_info = compose_context(LG, phones, disambig_ids, N, P, subseq)
 
     Ha, disambig_syms_h = get_h_transducer(
         ilabel_info, tree, transition_model, transition_scale=transition_scale

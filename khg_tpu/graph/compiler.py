@@ -88,14 +88,16 @@ class TrainingGraphCompiler:
     def compile_graph_from_lg(self, phone2word_fst: VectorFst) -> VectorFst:
         assert phone2word_fst.start != -1, "empty LG (transcript not in lexicon?)"
         N, P = self.ctx_dep.context_width, self.ctx_dep.central_position
-        if N == 1 and P == 0:
-            ctx2word_fst, ilabel_info = compose_context_monophone(
-                phone2word_fst, self.trans_model.phones, self.disambig_syms
-            )
-        else:
-            raise NotImplementedError(
-                "wide-context (triphone) training graphs not yet implemented"
-            )
+        from khg_tpu.graph.context import compose_context
+
+        ctx2word_fst, ilabel_info = compose_context(
+            phone2word_fst,
+            self.trans_model.phones,
+            self.disambig_syms,
+            N,
+            P,
+            self.subsequential_symbol,
+        )
         assert ctx2word_fst.start != -1
 
         H, disambig_syms_h = get_h_transducer(
