@@ -171,6 +171,28 @@ class DiagGmm:
         tot = float(m + np.log(np.sum(np.exp(ll[idx] - m))))
         return tot, idx.tolist()
 
+    def log_likelihoods_preselect(
+        self, data: np.ndarray, indices: List[int]
+    ) -> np.ndarray:
+        """Per-component loglikes restricted to ``indices``."""
+        idx = np.asarray(indices, dtype=np.int64)
+        return (
+            self.gconsts[idx]
+            + self.means_invvars[idx] @ data
+            - 0.5 * self.inv_vars[idx] @ (data**2)
+        )
+
+    def gaussian_selection_preselect(
+        self, data: np.ndarray, preselect: List[int], num_gselect: int
+    ) -> Tuple[float, List[int]]:
+        """Top-k within a preselected subset (best-first)."""
+        ll = self.log_likelihoods_preselect(data, preselect)
+        k = min(num_gselect, len(preselect))
+        order = np.argsort(-ll)[:k]
+        m = np.max(ll[order])
+        tot = float(m + np.log(np.sum(np.exp(ll[order] - m))))
+        return tot, [preselect[i] for i in order]
+
     # ----------------------------------------------------------- structural
 
     def split(

@@ -78,6 +78,9 @@ class EStepPipeline:
         self.indeg_pad = indeg_pad_multiple
         self.mix_pad = mix_pad_multiple
         self.id2pdf = transition_model.id2pdf_array()
+        from khg_tpu.utils.profiling import Counters
+
+        self.counters = Counters()
 
     # ------------------------------------------------------------- packing
 
@@ -142,12 +145,14 @@ class EStepPipeline:
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
             )
-            ll = gmm_loglikes(
-                model.gconsts, model.means_invvars, model.inv_vars, bfeats
-            )
-            res = viterbi_align_batch(
-                graphs, ll, lens, self.id2pdf, acoustic_scale=self.acoustic_scale,
-            )
+            with self.counters.phase("align", frames=int(lens.sum())):
+                ll = gmm_loglikes(
+                    model.gconsts, model.means_invvars, model.inv_vars, bfeats
+                )
+                res = viterbi_align_batch(
+                    graphs, ll, lens, self.id2pdf,
+                    acoustic_scale=self.acoustic_scale,
+                )
             tids = np.asarray(res.tids)
             total_cost = np.asarray(res.total_cost)
             acoustic_cost = np.asarray(res.acoustic_cost)

@@ -145,36 +145,62 @@ def train_yesno(
     self_loop_scale: float = 0.1,
     boost: float = 1.0,
     seed: int = 3,
+    checkpoint_dir: Optional[str] = None,
 ) -> TrainResult:
+    from khg_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
     rng = np.random.default_rng(seed)
     topo = generate_hmm_topo(
         non_sil_phones=lp.get_non_sil_phone_ids(),
         sil_phone=lp.get_sil_phone_id(),
     )
-    tm, tree, am = gmm_init_mono(topo, corpus.feats)
-    info = gmm_info(am, tm)
-    num_gauss = info["number_of_gaussians"]
-    inc_gauss = (total_gauss - num_gauss) // max_iter_inc
-    logger.info("init: %s", info)
 
-    lex_fst = make_lexicon_fst_with_silence(lexiconp=lp, sil_prob=0.5, sil_phone="SIL")
-    gc = TrainingGraphCompiler(
-        trans_model=tm,
-        ctx_dep=tree,
-        lex_fst=lex_fst,
-        disambig_syms=lp.disambig_phone_ids(),
-        opts=TrainingGraphCompilerOptions(),
-    )
-    graphs = []
-    for words in corpus.word_seqs:
-        word_ids = [lp.word2id[w] for w in words]
-        graphs.append(gc.compile_graph_from_text(word_ids))
+    resume = latest_checkpoint(checkpoint_dir) if checkpoint_dir else None
+    if resume is not None:
+        state = load_checkpoint(resume)
+        tm = state["transition_model"]
+        tree = state["tree"]
+        am = state["acoustic_model"]
+        graphs = state["graphs"]
+        alignments = state["alignments"]
+        avg_loglikes = state["avg_loglikes"]
+        num_gauss = state["num_gauss"]
+        inc_gauss = state["inc_gauss"]
+        start_iter = state["iter"] + 1
+        rng.bit_generator.state = state["rng_state"]
+        logger.info("resumed from %s at pass %d", resume, start_iter)
+    else:
+        tm, tree, am = gmm_init_mono(topo, corpus.feats)
+        info = gmm_info(am, tm)
+        num_gauss = info["number_of_gaussians"]
+        inc_gauss = (total_gauss - num_gauss) // max_iter_inc
+        start_iter = 0
+        logger.info("init: %s", info)
 
-    # ---- first alignment: equal-align
-    alignments: List[Optional[List[int]]] = []
-    for g, f in zip(graphs, corpus.feats):
-        res = equal_align(g, f.shape[0], rng)
-        alignments.append(res[0] if res is not None else None)
+        lex_fst = make_lexicon_fst_with_silence(
+            lexiconp=lp, sil_prob=0.5, sil_phone="SIL"
+        )
+        gc = TrainingGraphCompiler(
+            trans_model=tm,
+            ctx_dep=tree,
+            lex_fst=lex_fst,
+            disambig_syms=lp.disambig_phone_ids(),
+            opts=TrainingGraphCompilerOptions(),
+        )
+        graphs = []
+        for words in corpus.word_seqs:
+            word_ids = [lp.word2id[w] for w in words]
+            graphs.append(gc.compile_graph_from_text(word_ids))
+
+        # ---- first alignment: equal-align
+        alignments = []
+        for g, f in zip(graphs, corpus.feats):
+            res = equal_align(g, f.shape[0], rng)
+            alignments.append(res[0] if res is not None else None)
 
     pipeline = EStepPipeline(
         tm,
@@ -183,29 +209,32 @@ def train_yesno(
         self_loop_scale=self_loop_scale,
     )
 
-    ok = [i for i, a in enumerate(alignments) if a is not None]
-    gmm_accs = AccumAmDiagGmm()
-    gmm_accs.init(am, flags=0b1111)
-    transition_accs = tm.init_stats()
-    tot = pipeline.accumulate_from_alignments(
-        am,
-        [corpus.feats[i] for i in ok],
-        [alignments[i] for i in ok],
-        gmm_accs,
-        transition_accs,
-    )
-    avg_loglikes = [tot / max(gmm_accs.tot_count, 1.0)]
-    logger.info("pass 0 (equal-align) avg log-like/frame: %.4f", avg_loglikes[-1])
+    if resume is None:
+        ok = [i for i, a in enumerate(alignments) if a is not None]
+        gmm_accs = AccumAmDiagGmm()
+        gmm_accs.init(am, flags=0b1111)
+        transition_accs = tm.init_stats()
+        tot = pipeline.accumulate_from_alignments(
+            am,
+            [corpus.feats[i] for i in ok],
+            [alignments[i] for i in ok],
+            gmm_accs,
+            transition_accs,
+        )
+        avg_loglikes = [tot / max(gmm_accs.tot_count, 1.0)]
+        logger.info(
+            "pass 0 (equal-align) avg log-like/frame: %.4f", avg_loglikes[-1]
+        )
 
-    gmm_opts0 = MleDiagGmmOptions(min_gaussian_occupancy=3.0)
-    gmm_est(
-        am, gmm_accs, tm, transition_accs,
-        MleTransitionUpdateConfig(), gmm_opts0,
-        mixup=num_gauss, rng=rng,
-    )
+        gmm_opts0 = MleDiagGmmOptions(min_gaussian_occupancy=3.0)
+        gmm_est(
+            am, gmm_accs, tm, transition_accs,
+            MleTransitionUpdateConfig(), gmm_opts0,
+            mixup=num_gauss, rng=rng,
+        )
 
     realign_set = set(realign_iters.split())
-    for it in range(num_iters):
+    for it in range(start_iter, num_iters):
         if str(it) in realign_set:
             boosted = gmm_boost_silence(
                 am, tm, [lp.get_sil_phone_id()], boost=boost
@@ -237,6 +266,22 @@ def train_yesno(
         )
         if it < max_iter_inc:
             num_gauss += inc_gauss
+        if checkpoint_dir is not None:
+            save_checkpoint(
+                f"{checkpoint_dir}/iter_{it}.ckpt",
+                {
+                    "iter": it,
+                    "transition_model": tm,
+                    "tree": tree,
+                    "acoustic_model": am,
+                    "graphs": graphs,
+                    "alignments": alignments,
+                    "avg_loglikes": avg_loglikes,
+                    "num_gauss": num_gauss,
+                    "inc_gauss": inc_gauss,
+                    "rng_state": rng.bit_generator.state,
+                },
+            )
 
     info = gmm_info(am, tm)
     logger.info("final: %s", info)

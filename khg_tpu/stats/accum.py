@@ -113,6 +113,32 @@ class AccumDiagGmm:
         self.variance_accumulator *= smoothing[:, None]
         self.occupancy += tau
 
+    def smooth_with_accum(self, tau: float, src: "AccumDiagGmm") -> None:
+        """Add tau virtual counts per component shaped like ``src``'s stats
+        (mle-diag-gmm.cc:209-226).  Not valid for weight updates."""
+        assert src.num_comp == self.num_comp and src.dim == self.dim
+        for i in range(self.num_comp):
+            if src.occupancy[i] != 0.0:
+                self.occupancy[i] += tau
+                self.mean_accumulator[i] += (
+                    src.mean_accumulator[i] * tau / src.occupancy[i]
+                )
+                self.variance_accumulator[i] += (
+                    src.variance_accumulator[i] * tau / src.occupancy[i]
+                )
+            else:
+                logger.warning("Cannot smooth: source occupancy is zero")
+
+    def smooth_with_model(self, tau: float, gmm: DiagGmm) -> None:
+        """Add tau virtual counts per component drawn from the model itself
+        (mle-diag-gmm.cc:228-241)."""
+        assert gmm.num_gauss == self.num_comp and gmm.dim == self.dim
+        means = gmm.get_means().astype(np.float64)
+        variances = gmm.get_vars().astype(np.float64)
+        self.mean_accumulator += means * tau
+        self.variance_accumulator += (variances + means**2) * tau
+        self.occupancy += tau
+
 
 class AccumAmDiagGmm:
     def __init__(self):
