@@ -121,6 +121,10 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
 def main():
     import jax
 
+    from khg_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
+
     problem = build_problem()
     batch, frames = problem["feats"].shape[:2]
     audio_seconds = batch * frames / 100.0

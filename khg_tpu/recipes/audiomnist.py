@@ -100,6 +100,9 @@ def train_audiomnist(
 
 
 def main():
+    from khg_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] %(message)s",

@@ -289,6 +289,9 @@ def train_yesno(
 
 
 def main():
+    from khg_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] %(message)s",
