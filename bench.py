@@ -109,12 +109,17 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
         return res.tids, stats.occ, stats.mean_acc, stats.var_acc, stats.tot_log_like
 
     args = (gconsts, miv, iv, graphs, feats, lens, id2pdf)
+    # NOTE: sync via a VALUE FETCH, not block_until_ready — the axon
+    # backend's readiness signal returns before execution completes, which
+    # inflates throughput ~100x.  Device execution is FIFO, so fetching a
+    # scalar from the LAST iteration's output bounds all N executions; the
+    # single fetch RTT amortizes over iters.
     out = estep(*args)  # compile + warm
-    jax.block_until_ready(out)
+    float(out[-1])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = estep(*args)
-    jax.block_until_ready(out)
+    float(out[-1])
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -11,9 +11,14 @@ domain (negated costs):
                                + scale * ll[t, out_pdf[s,m]] )
   arc posterior = exp(alpha[t][s] + w + ll - logZ + beta[t+1][v])
 
+As in the Viterbi engine, index lookups are one-hot einsums (exact
+selects on the MXU), never gathers-in-scan, and per-arc posteriors are
+reduced to pdf/tid marginals by one-hot matmuls; the gamma emission is
+fused into the backward scan so there are exactly two scans.
+
 Replaces nothing in the reference (it only does hard Viterbi-EM); the
 BASELINE north star lists Baum-Welch as a first-class dense scan.
-Memory: alpha is O(T·S); for long utterances pair with jax.checkpoint
+Memory: alphas are O(T·S); for long utterances pair with jax.checkpoint
 time-chunking (SURVEY §5.7) — utterance batching, not sequence sharding,
 is where the scale is.
 """
@@ -26,9 +31,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from khg_tpu.align.packed import BIG
-
 NEG_BIG = -1.0e30
+_HI = jax.lax.Precision.HIGHEST
 
 
 class FBResult(NamedTuple):
@@ -38,101 +42,109 @@ class FBResult(NamedTuple):
     failed: jnp.ndarray       # (B,) bool (no complete path)
 
 
-def _fb_single(
-    in_src, in_pdf, in_cost, in_tid,
-    out_dst, out_pdf, out_cost,
-    init_cost, final_cost,
-    loglikes,     # (T, P)
-    num_frames,   # ()
-    num_tids: int,
-    acoustic_scale: float,
-):
-    T, P = loglikes.shape
-    S, M = in_src.shape
-
-    init = -init_cost  # log-prob domain
-    init = jnp.maximum(init, NEG_BIG)
-    fin = jnp.maximum(-final_cost, NEG_BIG)
-
-    def fwd_step(alpha, xs):
-        t, ll_t = xs
-        contrib = (
-            alpha[in_src]
-            - in_cost
-            + acoustic_scale * ll_t[in_pdf]
-        )
-        new_alpha = jax.nn.logsumexp(contrib, axis=1)
-        new_alpha = jnp.maximum(new_alpha, NEG_BIG)
-        active = t < num_frames
-        alpha = jnp.where(active, new_alpha, alpha)
-        return alpha, alpha
-
-    ts = jnp.arange(T, dtype=jnp.int32)
-    alpha_T, alphas_next = jax.lax.scan(fwd_step, init, (ts, loglikes))
-    # alphas[t] = alpha AFTER consuming frame t; prepend initial
-    alphas = jnp.concatenate([init[None], alphas_next], axis=0)  # (T+1, S)
-
-    log_z = jax.nn.logsumexp(alpha_T + fin)
-    failed = log_z < NEG_BIG / 2
-
-    def bwd_step(beta, xs):
-        t, ll_t = xs
-        contrib = (
-            beta[out_dst]
-            - out_cost
-            + acoustic_scale * ll_t[out_pdf]
-        )
-        new_beta = jax.nn.logsumexp(contrib, axis=1)
-        new_beta = jnp.maximum(new_beta, NEG_BIG)
-        active = t < num_frames
-        beta = jnp.where(active, new_beta, beta)
-        return beta, beta
-
-    ts_rev = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    _, betas_rev = jax.lax.scan(bwd_step, fin, (ts_rev, loglikes[::-1]))
-    betas = jnp.concatenate([betas_rev[::-1], fin[None]], axis=0)  # (T+1, S)
-
-    # arc posteriors per frame (T, S, M) -> reduce to pdf/tid marginals.
-    def gamma_step(_, xs):
-        t, ll_t = xs
-        # posterior of incoming arc (v, m) at frame t
-        logp = (
-            alphas[t][in_src]
-            - in_cost
-            + acoustic_scale * ll_t[in_pdf]
-            + betas[t + 1][:, None]
-            - log_z
-        )
-        post = jnp.exp(jnp.minimum(logp, 0.0))
-        post = jnp.where(t < num_frames, post, 0.0)
-        gamma_t = jax.ops.segment_sum(
-            post.reshape(-1), in_pdf.reshape(-1), num_segments=P
-        )
-        tid_t = jax.ops.segment_sum(
-            post.reshape(-1), in_tid.reshape(-1), num_segments=num_tids + 1
-        )
-        return None, (gamma_t, tid_t)
-
-    _, (gamma, tid_counts_t) = jax.lax.scan(gamma_step, None, (ts, loglikes))
-    tid_counts = jnp.sum(tid_counts_t, axis=0)
-    tid_counts = tid_counts.at[0].set(0.0)
-    return log_z, gamma, tid_counts, failed
+def _select(onehot: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum(
+        "bxy,by->bx", onehot, values,
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("num_tids", "acoustic_scale"))
+@functools.partial(
+    jax.jit, static_argnames=("num_tids", "acoustic_scale", "unroll")
+)
 def forward_backward_batch(
     graphs,                  # BatchedGraphs
     loglikes: jnp.ndarray,   # (B, T, P)
     num_frames: jnp.ndarray,  # (B,)
     num_tids: int,
     acoustic_scale: float = 1.0,
+    unroll: int = 8,
 ) -> FBResult:
-    log_z, gamma, tid_counts, failed = jax.vmap(
-        _fb_single, in_axes=(0,) * 9 + (0, 0, None, None)
-    )(
-        graphs.in_src, graphs.in_pdf, graphs.in_cost, graphs.in_tid,
-        graphs.out_dst, graphs.out_pdf, graphs.out_cost,
-        graphs.init_cost, graphs.final_cost,
-        loglikes, num_frames, num_tids, acoustic_scale,
+    B, S, M = graphs.in_src.shape
+    Mo = graphs.out_dst.shape[2]
+    T, P = loglikes.shape[1:]
+
+    oh_in_src = jax.nn.one_hot(
+        graphs.in_src.reshape(B, S * M), S, dtype=jnp.float32
     )
+    oh_in_pdf = jax.nn.one_hot(
+        graphs.in_pdf.reshape(B, S * M), P, dtype=jnp.float32
+    )
+    oh_out_dst = jax.nn.one_hot(
+        graphs.out_dst.reshape(B, S * Mo), S, dtype=jnp.float32
+    )
+    oh_out_pdf = jax.nn.one_hot(
+        graphs.out_pdf.reshape(B, S * Mo), P, dtype=jnp.float32
+    )
+    oh_in_tid = jax.nn.one_hot(
+        graphs.in_tid.reshape(B, S * M), num_tids + 1, dtype=jnp.float32
+    )
+    in_cost = graphs.in_cost
+    out_cost = graphs.out_cost
+
+    init = jnp.maximum(-graphs.init_cost, NEG_BIG)
+    fin = jnp.maximum(-graphs.final_cost, NEG_BIG)
+    ts = jnp.arange(T, dtype=jnp.int32)
+    ll_seq = jnp.swapaxes(loglikes, 0, 1)  # (T, B, P)
+
+    def fwd_step(alpha, xs):
+        t, ll_t = xs
+        ga = _select(oh_in_src, alpha).reshape(B, S, M)
+        ac = _select(oh_in_pdf, ll_t).reshape(B, S, M)
+        contrib = ga - in_cost + acoustic_scale * ac
+        new_alpha = jnp.maximum(jax.nn.logsumexp(contrib, axis=2), NEG_BIG)
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        return alpha, alpha
+
+    alpha_T, alphas_next = jax.lax.scan(
+        fwd_step, init, (ts, ll_seq), unroll=unroll
+    )
+    alphas = jnp.concatenate([init[None], alphas_next], axis=0)  # (T+1, B, S)
+
+    log_z = jax.nn.logsumexp(alpha_T + fin, axis=1)  # (B,)
+    failed = log_z < NEG_BIG / 2
+
+    # backward scan over reversed time; emits gamma_t and accumulates
+    # per-arc posteriors for transition counts
+    def bwd_step(carry, xs):
+        beta, arc_post_sum = carry  # beta = beta[t+1]; (B, S), (B, S*M)
+        t, ll_t, alpha_t = xs       # alpha_t = alphas[t]
+        # arc posteriors at frame t (incoming-arc view)
+        ga = _select(oh_in_src, alpha_t).reshape(B, S, M)
+        ac = _select(oh_in_pdf, ll_t).reshape(B, S, M)
+        logp = (
+            ga - in_cost + acoustic_scale * ac
+            + beta[:, :, None] - log_z[:, None, None]
+        )
+        post = jnp.exp(jnp.minimum(logp, 0.0))
+        post = jnp.where((t < num_frames)[:, None, None], post, 0.0)
+        post_flat = post.reshape(B, S * M)
+        gamma_t = jnp.einsum(
+            "bx,bxp->bp", post_flat, oh_in_pdf,
+            precision=_HI, preferred_element_type=jnp.float32,
+        )
+        arc_post_sum = arc_post_sum + post_flat
+        # beta recursion (outgoing-arc view)
+        gb = _select(oh_out_dst, beta).reshape(B, S, Mo)
+        aco = _select(oh_out_pdf, ll_t).reshape(B, S, Mo)
+        contrib = gb - out_cost + acoustic_scale * aco
+        new_beta = jnp.maximum(jax.nn.logsumexp(contrib, axis=2), NEG_BIG)
+        beta = jnp.where((t < num_frames)[:, None], new_beta, beta)
+        return (beta, arc_post_sum), gamma_t
+
+    ts_rev = ts[::-1]
+    (beta0, arc_post_sum), gammas_rev = jax.lax.scan(
+        bwd_step,
+        (fin, jnp.zeros((B, S * M), jnp.float32)),
+        (ts_rev, ll_seq[::-1], alphas[:-1][::-1]),
+        unroll=unroll,
+    )
+    gamma = jnp.swapaxes(gammas_rev[::-1], 0, 1)  # (B, T, P)
+
+    tid_counts = jnp.einsum(
+        "bx,bxn->bn", arc_post_sum, oh_in_tid,
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    tid_counts = tid_counts.at[:, 0].set(0.0)
     return FBResult(log_z, gamma, tid_counts, failed)
