@@ -36,6 +36,18 @@ class EventMap:
     def max_result(self) -> int:
         raise NotImplementedError
 
+    def map_values(
+        self, keys_to_map: set, value_map: Dict[int, int]
+    ) -> "EventMap":
+        """Copy with the VALUES of the given keys remapped (event-map.h
+        MapValues) — used when renumbering phones."""
+        raise NotImplementedError
+
+    def prune(self) -> Optional["EventMap"]:
+        """Copy with -1-answer leaves removed; None if everything pruned
+        (event-map.h Prune)."""
+        raise NotImplementedError
+
 
 class ConstantEventMap(EventMap):
     def __init__(self, answer: int):
@@ -49,6 +61,12 @@ class ConstantEventMap(EventMap):
 
     def max_result(self) -> int:
         return self.answer
+
+    def map_values(self, keys_to_map, value_map):
+        return ConstantEventMap(self.answer)
+
+    def prune(self):
+        return None if self.answer < 0 else ConstantEventMap(self.answer)
 
     def __repr__(self):
         return f"CE({self.answer})"
@@ -94,6 +112,29 @@ class TableEventMap(EventMap):
             (c.max_result() for c in self.table if c is not None), default=-1
         )
 
+    def map_values(self, keys_to_map, value_map):
+        table = {}
+        for value, child in enumerate(self.table):
+            if child is None:
+                continue
+            new_value = value
+            if self.key in keys_to_map:
+                assert value in value_map, (self.key, value)
+                new_value = value_map[value]
+            assert new_value not in table, "value_map not 1:1"
+            table[new_value] = child.map_values(keys_to_map, value_map)
+        return TableEventMap(self.key, table)
+
+    def prune(self):
+        table = {}
+        for value, child in enumerate(self.table):
+            if child is None:
+                continue
+            pruned = child.prune()
+            if pruned is not None:
+                table[value] = pruned
+        return TableEventMap(self.key, table) if table else None
+
     def __repr__(self):
         return f"TE(key={self.key}, {self.table})"
 
@@ -123,6 +164,31 @@ class SplitEventMap(EventMap):
 
     def max_result(self) -> int:
         return max(self.yes.max_result(), self.no.max_result())
+
+    def map_values(self, keys_to_map, value_map):
+        if self.key in keys_to_map:
+            yes_set = []
+            for v in self.yes_set:
+                assert v in value_map, (self.key, v)
+                yes_set.append(value_map[v])
+        else:
+            yes_set = list(self.yes_set)
+        return SplitEventMap(
+            self.key, yes_set,
+            self.yes.map_values(keys_to_map, value_map),
+            self.no.map_values(keys_to_map, value_map),
+        )
+
+    def prune(self):
+        yes = self.yes.prune()
+        no = self.no.prune()
+        if yes is None and no is None:
+            return None
+        if yes is None:
+            return no
+        if no is None:
+            return yes
+        return SplitEventMap(self.key, sorted(self.yes_set), yes, no)
 
     def __repr__(self):
         return f"SE(key={self.key}, yes_set={sorted(self.yes_set)}, {self.yes}, {self.no})"

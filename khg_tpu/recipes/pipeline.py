@@ -67,7 +67,11 @@ class EStepPipeline:
         states_pad_multiple: int = 8,
         indeg_pad_multiple: int = 2,
         mix_pad_multiple: int = 1,
+        likelihood_backend: str = "xla",
     ):
+        """``likelihood_backend``: "xla" (f32, exact — default), "xla_bf16"
+        (MXU-native, ~1.3x faster scoring), "pallas" (fused logsumexp
+        kernel), or "pallas_bf16" (fastest)."""
         self.tm = transition_model
         self.acoustic_scale = acoustic_scale
         self.transition_scale = transition_scale
@@ -81,6 +85,22 @@ class EStepPipeline:
         from khg_tpu.utils.profiling import Counters
 
         self.counters = Counters()
+        assert likelihood_backend in ("xla", "xla_bf16", "pallas", "pallas_bf16")
+        self.likelihood_backend = likelihood_backend
+
+    def _loglikes(self, model, bfeats):
+        dtype = "bfloat16" if self.likelihood_backend.endswith("bf16") else None
+        if self.likelihood_backend.startswith("pallas"):
+            from khg_tpu.gmm.pallas_kernels import loglikes_pallas
+
+            return loglikes_pallas(
+                model.gconsts, model.means_invvars, model.inv_vars, bfeats,
+                compute_dtype=dtype,
+            )
+        return gmm_loglikes(
+            model.gconsts, model.means_invvars, model.inv_vars, bfeats,
+            compute_dtype=dtype,
+        )
 
     # ------------------------------------------------------------- packing
 
@@ -146,9 +166,7 @@ class EStepPipeline:
                 indeg_pad_to=self.indeg_pad,
             )
             with self.counters.phase("align", frames=int(lens.sum())):
-                ll = gmm_loglikes(
-                    model.gconsts, model.means_invvars, model.inv_vars, bfeats
-                )
+                ll = self._loglikes(model, bfeats)
                 res = viterbi_align_batch(
                     graphs, ll, lens, self.id2pdf,
                     acoustic_scale=self.acoustic_scale,
@@ -230,9 +248,7 @@ class EStepPipeline:
             )
             from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
 
-            ll = gmm_loglikes(
-                model.gconsts, model.means_invvars, model.inv_vars, bfeats
-            )
+            ll = self._loglikes(model, bfeats)
             fb = forward_backward_batch(
                 graphs, ll, lens, self.tm.num_transition_ids,
                 acoustic_scale=self.acoustic_scale,
