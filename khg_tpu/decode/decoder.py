@@ -185,12 +185,23 @@ def decode_dense(
     loglikes: np.ndarray,  # (T, num_pdfs)
     id2pdf: np.ndarray,
     acoustic_scale: float = 1.0,
+    max_states: int = 4096,
 ) -> Optional[Tuple[List[int], List[int], float]]:
     """Exact decode of one utterance on the device Viterbi; returns
-    (tids, words, total_cost)."""
+    (tids, words, total_cost).
+
+    The dense DP materializes one-hot selection tensors of size
+    O(S²·max_in_degree); intended for small/medium graphs.  Use
+    FasterDecoder for large decoding graphs (guarded by ``max_states``).
+    """
     from khg_tpu.align.packed import pack_graph, pack_graph_batch
     from khg_tpu.align.viterbi import viterbi_align_batch
 
+    if hclg.num_states > max_states:
+        raise ValueError(
+            f"decode_dense: graph has {hclg.num_states} states > "
+            f"max_states={max_states}; use FasterDecoder for large graphs"
+        )
     packed = pack_graph(hclg, id2pdf)
     graphs = pack_graph_batch([packed])
     T = loglikes.shape[0]

@@ -171,10 +171,12 @@ class EStepPipeline:
                     graphs, ll, lens, self.id2pdf,
                     acoustic_scale=self.acoustic_scale,
                 )
-            tids = np.asarray(res.tids)
-            total_cost = np.asarray(res.total_cost)
-            acoustic_cost = np.asarray(res.acoustic_cost)
-            failed = np.asarray(res.failed)
+                # fetch inside the phase: device completion is only
+                # observable through a value transfer on some backends
+                tids = np.asarray(res.tids)
+                total_cost = np.asarray(res.total_cost)
+                acoustic_cost = np.asarray(res.acoustic_cost)
+                failed = np.asarray(res.failed)
 
             frame_weights = (
                 (np.arange(bt)[None, :] < lens[:, None]) & ~failed[:, None]
