@@ -124,11 +124,16 @@ def _fbank_impl(
     wave: jnp.ndarray,  # (..., num_samples)
     cfg: FbankConfig,
     T: int,
+    dither_key: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     frame_len = cfg.frame_length
     shift = cfg.frame_shift
     n_fft = cfg.fft_size
     num_samples = wave.shape[-1]
+    if cfg.dither != 0.0 and dither_key is not None:
+        wave = wave + cfg.dither * jax.random.normal(
+            dither_key, wave.shape, dtype=wave.dtype
+        )
 
     # frame start indices; with snip_edges=False frames are centered and
     # edges reflect
@@ -170,15 +175,27 @@ def _fbank_impl(
     return feats
 
 
-def compute_fbank(wave: np.ndarray, cfg: FbankConfig = FbankConfig()) -> np.ndarray:
-    """(num_samples,) waveform -> (T, num_mel_bins) log-mel features."""
+def compute_fbank(
+    wave: np.ndarray,
+    cfg: FbankConfig = FbankConfig(),
+    dither_key: Optional[jnp.ndarray] = None,
+) -> np.ndarray:
+    """(num_samples,) waveform -> (T, num_mel_bins) log-mel features.
+
+    Dither (cfg.dither > 0) requires an explicit PRNG key — reproducible,
+    unlike the reference stack's global RNG.
+    """
     T = num_frames(cfg, wave.shape[-1])
-    return np.asarray(_fbank_impl(jnp.asarray(wave, jnp.float32), cfg, T))
+    return np.asarray(
+        _fbank_impl(jnp.asarray(wave, jnp.float32), cfg, T, dither_key)
+    )
 
 
 def compute_fbank_batch(
-    waves: jnp.ndarray, cfg: FbankConfig = FbankConfig()
+    waves: jnp.ndarray,
+    cfg: FbankConfig = FbankConfig(),
+    dither_key: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, num_samples) equal-length batch -> (B, T, num_mel_bins)."""
     T = num_frames(cfg, waves.shape[-1])
-    return _fbank_impl(jnp.asarray(waves, jnp.float32), cfg, T)
+    return _fbank_impl(jnp.asarray(waves, jnp.float32), cfg, T, dither_key)

@@ -98,6 +98,36 @@ class DiagGmm:
     def get_vars(self) -> np.ndarray:
         return 1.0 / self.inv_vars
 
+    def set_component_weight(self, g: int, w: float) -> None:
+        assert w > 0.0 and g < self.num_gauss
+        self.weights[g] = w
+        self.valid_gconsts = False
+
+    def set_component_mean(self, g: int, v: np.ndarray) -> None:
+        assert g < self.num_gauss and v.shape == (self.dim,)
+        self.means_invvars[g] = self.inv_vars[g] * v
+        self.valid_gconsts = False
+
+    def set_component_inv_var(self, g: int, v: np.ndarray) -> None:
+        assert g < self.num_gauss and v.shape == (self.dim,)
+        self.means_invvars[g] = self.means_invvars[g] / self.inv_vars[g] * v
+        self.inv_vars[g] = v
+        self.valid_gconsts = False
+
+    def get_component_mean(self, g: int) -> np.ndarray:
+        return self.means_invvars[g] / self.inv_vars[g]
+
+    def get_component_variance(self, g: int) -> np.ndarray:
+        return 1.0 / self.inv_vars[g]
+
+    def component_log_likelihood(self, data: np.ndarray, comp: int) -> float:
+        assert data.shape == (self.dim,)
+        return float(
+            self.means_invvars[comp] @ data
+            - 0.5 * self.inv_vars[comp] @ (data**2)
+            + self.gconsts[comp]
+        )
+
     # ------------------------------------------------------------- gconsts
 
     def compute_gconsts(self) -> int:
