@@ -57,6 +57,45 @@ def ctc_id2pdf(vocab_size: int) -> np.ndarray:
     return arr
 
 
+def build_hl_graph(
+    max_token_id: int,
+    lexicon_fst,
+    disambig_start: int = 0,
+    disambig_end: int = -1,
+):
+    """HL = CTC topology ∘ L: decode token posteriors directly to words.
+
+    ``lexicon_fst`` maps tokens (as phones, UNSHIFTED ids) to words and may
+    contain disambiguation symbols with ids in [disambig_start,
+    disambig_end].  The topology gets +1-shifted input labels (blank=1)
+    and disambig self-loops so the composition is exact; the result's
+    input labels are shifted token ids (use ``ctc_id2pdf``).
+
+    Contract: non-blank token id v (1..max_token_id) IS the lexicon's phone
+    id for that token; blank is 0 and never reaches L.  Only the INPUT side
+    of the topology is shifted (+1, so blank=1 is distinct from epsilon);
+    output labels stay unshifted to match L.
+
+    Mirrors the reference's CTC decode flow
+    (/root/reference/scripts/test_ctc_topo.py:64-176).
+    """
+    from khg_tpu.fstlib.fst import compose, determinize_star
+
+    topo = build_standard_ctc_topo(max_token_id)
+    for arcs in topo.arcs:
+        for a in arcs:
+            a.ilabel += 1  # input-side shift only
+    if disambig_end >= disambig_start and disambig_end > 0:
+        add_disambig_self_loops(topo, disambig_start, disambig_end)
+    L = lexicon_fst.copy()
+    L.arcsort("ilabel")
+    topo.arcsort("olabel")
+    hl = compose(topo, L)
+    assert hl.start != -1, "empty HL (token/lexicon symbol mismatch?)"
+    hl = determinize_star(hl, semiring="log")
+    return hl
+
+
 def build_ctc_training_graph(
     tokens: list, vocab_size: int
 ) -> VectorFst:

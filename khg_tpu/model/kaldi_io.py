@@ -76,23 +76,6 @@ def write_matrix(m: np.ndarray) -> str:
     return " [\n  " + rows + " ]"
 
 
-def read_matrix(ts: Tokens) -> np.ndarray:
-    ts.expect("[")
-    rows: List[List[float]] = [[]]
-    while True:
-        t = ts.next()
-        if t == "]":
-            break
-        if t == ";":  # not produced by kaldi text matrices, but tolerate
-            rows.append([])
-            continue
-        rows[-1].append(float(t))
-    # Kaldi text matrices put each row on its own line; since we tokenize
-    # by whitespace, the caller must know the column count -- so we instead
-    # write/read matrices as (rows cols values...) via the wrapper below.
-    raise NotImplementedError
-
-
 # Kaldi's text matrices rely on newlines, which a whitespace tokenizer
 # cannot see.  We emit standard Kaldi layout on WRITE (newline-separated
 # rows), and on READ use the explicitly-known shape from the surrounding

@@ -118,3 +118,27 @@ def test_ctc_infeasible_too_short():
         arrays, ll5[None], np.array([5], np.int32), id2pdf, acoustic_scale=1.0
     )
     assert not bool(np.asarray(res5.failed)[0])
+
+
+def test_ctc_hl_decode_to_words():
+    """CTC logits decoded to WORDS through a lexicon (HL graph)."""
+    from khg_tpu.lang.ctc import build_hl_graph
+    from khg_tpu.lang.lexicon import Lexicon, Lexiconp
+    from khg_tpu.lang.lfst import make_lexicon_fst_no_silence
+
+    # tokens: 0=blank, 1..3 = a, b, c; words AB = "a b", C = "c"
+    lexicon = Lexicon(word2phones={"AB": ["a b"], "C": ["c"]})
+    lp = Lexiconp.from_lexicon(lexicon).add_lex_disambig()
+    assert lp.phone2id["a"] == 1 and lp.phone2id["c"] == 3
+    L = make_lexicon_fst_no_silence(lp)
+    hl = build_hl_graph(3, L)
+
+    vocab = 4
+    tokens = [1, 2, 3]  # a b c -> "AB C"
+    ll = make_logits(tokens, vocab)
+    id2pdf = ctc_id2pdf(vocab)
+    dec = FasterDecoder(hl, FasterDecoderOptions(beam=20.0))
+    out = dec.decode(ll, id2pdf, acoustic_scale=1.0)
+    assert out is not None
+    _, words, _, _ = out
+    assert [lp.id2word[w] for w in words] == ["AB", "C"]
