@@ -127,7 +127,7 @@ def sharded_em_step(
     M-step runs on the psummed stats, replicated, keeping every chip's
     model bitwise identical.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     dp = P("dp")
     rep = P()

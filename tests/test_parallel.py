@@ -1,0 +1,131 @@
+"""Data-parallel sharded EM: sharding invariance, M-step parity,
+multi-step convergence on the virtual CPU mesh."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from khg_tpu.align.packed import pack_graph, pack_graph_batch
+from khg_tpu.est.flags import GMM_ALL
+from khg_tpu.est.mle import MleDiagGmmOptions, mle_am_diag_gmm_update
+from khg_tpu.graph.h_builder import add_transition_probs
+from khg_tpu.parallel.mesh import make_data_mesh, sharded_em_step
+from khg_tpu.stats.accum import AccumAmDiagGmm
+from tests.test_align import random_am
+from tests.test_graph_compiler import build_yesno_like
+
+
+def build_sharded_problem(num_utts=8, T=24, dim=6, seed=0):
+    lp, topo, tree, tm, gc = build_yesno_like()
+    rng = np.random.default_rng(seed)
+    am = random_am(tree.num_pdfs, dim, rng, max_mix=2)
+    id2pdf = tm.id2pdf_array()
+    packed = []
+    for i in range(num_utts):
+        words = [lp.word2id["YES" if (i + j) % 2 else "NO"]
+                 for j in range(2 + i % 2)]
+        g = gc.compile_graph_from_text(words).copy()
+        add_transition_probs(tm, g, 1.0, 0.1)
+        packed.append(pack_graph(g, id2pdf))
+    graphs = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+    feats = rng.standard_normal((num_utts, T, dim)).astype(np.float32)
+    lens = np.full(num_utts, T, dtype=np.int32)
+    packed_model = am.pack(mix_pad_to=2)
+    weights = np.zeros(packed_model.gconsts.shape, dtype=np.float32)
+    for p in range(am.num_pdfs):
+        k = am.get_pdf(p).num_gauss
+        weights[p, :k] = am.get_pdf(p).weights
+    return lp, tm, am, packed_model, weights, graphs, feats, lens, id2pdf
+
+
+def run_step(n_devices, problem, acoustic_scale=0.5):
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    mesh = make_data_mesh(n_devices, devices=jax.devices("cpu")[:n_devices])
+    step = sharded_em_step(mesh, acoustic_scale=acoustic_scale)
+    return step(
+        (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+         jnp.asarray(pm.inv_vars), jnp.asarray(weights)),
+        jax.tree.map(jnp.asarray, graphs),
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(id2pdf),
+    )
+
+
+def test_sharding_invariance():
+    problem = build_sharded_problem()
+    results = [run_step(n, problem) for n in (1, 2, 4)]
+    for r in results[1:]:
+        np.testing.assert_allclose(
+            np.asarray(r.occ), np.asarray(results[0].occ), rtol=1e-4, atol=1e-4
+        )
+        assert math.isclose(
+            float(r.tot_log_like), float(results[0].tot_log_like), rel_tol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r.tids), np.asarray(results[0].tids)
+        )
+
+
+def test_dense_mstep_matches_host():
+    """The on-device M-step equals the host MLE update where no component
+    is removed (occupancy above threshold)."""
+    problem = build_sharded_problem(num_utts=8, T=60)
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    res = run_step(4, problem)
+
+    # host path: fold the SAME dense stats into accumulators and update
+    accs = AccumAmDiagGmm()
+    am2 = am.copy()
+    accs.init(am2, flags=GMM_ALL)
+    accs.add_dense(
+        np.asarray(res.occ), np.asarray(res.mean_acc), np.asarray(res.var_acc),
+        float(res.tot_log_like), float(res.tot_frames),
+    )
+    opts = MleDiagGmmOptions(remove_low_count_gaussians=False)
+    mle_am_diag_gmm_update(opts, accs, 0b111, am2)
+
+    new_miv = np.asarray(res.new_means_invvars)
+    new_iv = np.asarray(res.new_inv_vars)
+    for p in range(am2.num_pdfs):
+        g = am2.get_pdf(p)
+        for k in range(g.num_gauss):
+            occ = accs.get_acc(p).occupancy[k]
+            if occ <= 10.0:
+                continue  # device keeps old params below the threshold
+            np.testing.assert_allclose(
+                new_iv[p, k, : g.dim], g.inv_vars[k], rtol=2e-3,
+                err_msg=f"pdf {p} comp {k}",
+            )
+            np.testing.assert_allclose(
+                new_miv[p, k, : g.dim], g.means_invvars[k], rtol=2e-3, atol=1e-3,
+            )
+
+
+def test_device_em_improves_loglike():
+    """Iterating the fully on-device EM step increases total log-like."""
+    problem = build_sharded_problem(num_utts=8, T=60)
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    mesh = make_data_mesh(4, devices=jax.devices("cpu")[:4])
+    step = sharded_em_step(mesh, acoustic_scale=0.5)
+    model = (
+        jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+        jnp.asarray(pm.inv_vars), jnp.asarray(weights),
+    )
+    args = (
+        jax.tree.map(jnp.asarray, graphs),
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(id2pdf),
+    )
+    lls = []
+    for _ in range(5):
+        res = step(model, *args)
+        lls.append(float(res.tot_log_like))
+        model = (
+            res.new_gconsts, res.new_means_invvars,
+            res.new_inv_vars, res.new_weights,
+        )
+    assert lls[-1] > lls[0], lls
+    # hard-EM with exact Viterbi: monotone within f32 tolerance
+    for a, b in zip(lls, lls[1:]):
+        assert b > a - 1.0, lls
