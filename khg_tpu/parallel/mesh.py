@@ -177,6 +177,6 @@ def sharded_em_step(
         out_specs=EmStepResult(
             dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
