@@ -29,12 +29,57 @@ Layout:
 
 __version__ = "0.1.0"
 
+# Flat convenience namespace (the snake_case API surface mirrors the
+# reference's kaldi_hmm_gmm/__init__.py exports where a counterpart
+# exists; device-first additions live alongside).
 from khg_tpu.model.topology import HmmTopology
 from khg_tpu.model.context_dep import (
     ContextDependency,
     monophone_context_dependency,
     monophone_context_dependency_shared,
 )
-from khg_tpu.model.transition_model import MleTransitionUpdateConfig, TransitionModel
+from khg_tpu.model.transition_model import (
+    MleTransitionUpdateConfig,
+    TransitionModel,
+    get_pdfs_for_phones,
+)
 from khg_tpu.gmm.diag_gmm import DiagGmm
-from khg_tpu.gmm.am_gmm import AmDiagGmm
+from khg_tpu.gmm.am_gmm import AmDiagGmm, get_split_targets
+from khg_tpu.est.flags import (
+    GMM_ALL,
+    GMM_MEANS,
+    GMM_TRANSITIONS,
+    GMM_VARIANCES,
+    GMM_WEIGHTS,
+    gmm_flags_to_str,
+    str_to_gmm_flags,
+)
+from khg_tpu.est.mle import (
+    MapDiagGmmOptions,
+    MleDiagGmmOptions,
+    gmm_boost_silence,
+    map_am_diag_gmm_update,
+    map_diag_gmm_update,
+    ml_objective,
+    mle_am_diag_gmm_update,
+    mle_diag_gmm_update,
+)
+from khg_tpu.stats.accum import AccumAmDiagGmm, AccumDiagGmm
+from khg_tpu.graph.compiler import (
+    TrainingGraphCompiler,
+    TrainingGraphCompilerOptions,
+)
+from khg_tpu.graph.h_builder import (
+    add_self_loops,
+    add_transition_probs,
+    get_h_transducer,
+    modify_graph_for_careful_alignment,
+)
+from khg_tpu.decode.decoder import FasterDecoder, FasterDecoderOptions
+from khg_tpu.decode.lattice import (
+    LatticeFasterDecoder,
+    LatticeFasterDecoderConfig,
+    LatticeSimpleDecoder,
+    decode_utterance_lattice_faster,
+)
+from khg_tpu.decode.decodable import DecodableAmDiagGmmScaled, DecodableCtc
