@@ -42,13 +42,6 @@ class FBResult(NamedTuple):
     failed: jnp.ndarray       # (B,) bool (no complete path)
 
 
-def _select(onehot: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum(
-        "bxy,by->bx", onehot, values,
-        precision=_HI, preferred_element_type=jnp.float32,
-    )
-
-
 @functools.partial(
     jax.jit, static_argnames=("num_tids", "acoustic_scale", "unroll")
 )
@@ -64,18 +57,19 @@ def forward_backward_batch(
     Mo = graphs.out_dst.shape[2]
     T, P = loglikes.shape[1:]
 
-    oh_in_src = jax.nn.one_hot(
-        graphs.in_src.reshape(B, S * M), S, dtype=jnp.float32
-    )
-    oh_in_pdf = jax.nn.one_hot(
-        graphs.in_pdf.reshape(B, S * M), P, dtype=jnp.float32
-    )
-    oh_out_dst = jax.nn.one_hot(
-        graphs.out_dst.reshape(B, S * Mo), S, dtype=jnp.float32
-    )
-    oh_out_pdf = jax.nn.one_hot(
-        graphs.out_pdf.reshape(B, S * Mo), P, dtype=jnp.float32
-    )
+    from khg_tpu.align.viterbi import make_factored_select
+
+    sel_in_src = make_factored_select(graphs.in_src.reshape(B, S * M), S)
+    sel_in_pdf = make_factored_select(graphs.in_pdf.reshape(B, S * M), P)
+    sel_out_dst = make_factored_select(graphs.out_dst.reshape(B, S * Mo), S)
+    sel_out_pdf = make_factored_select(graphs.out_pdf.reshape(B, S * Mo), P)
+    # gamma scatter (post -> per-pdf sums) factored the same way:
+    # gamma[b, hi*J+lo] = sum_x post[b,x] oh_hi[b,x,hi] oh_lo[b,x,lo]
+    Gp = 1 << max(1, (P.bit_length() + 1) // 2)
+    Jp = -(-P // Gp)
+    in_pdf_flat = graphs.in_pdf.reshape(B, S * M)
+    oh_pdf_hi = jax.nn.one_hot(in_pdf_flat // Jp, Gp, dtype=jnp.float32)
+    oh_pdf_lo = jax.nn.one_hot(in_pdf_flat % Jp, Jp, dtype=jnp.float32)
     oh_in_tid = jax.nn.one_hot(
         graphs.in_tid.reshape(B, S * M), num_tids + 1, dtype=jnp.float32
     )
@@ -89,8 +83,8 @@ def forward_backward_batch(
 
     def fwd_step(alpha, xs):
         t, ll_t = xs
-        ga = _select(oh_in_src, alpha).reshape(B, S, M)
-        ac = _select(oh_in_pdf, ll_t).reshape(B, S, M)
+        ga = sel_in_src(alpha).reshape(B, S, M)
+        ac = sel_in_pdf(ll_t).reshape(B, S, M)
         contrib = ga - in_cost + acoustic_scale * ac
         new_alpha = jnp.maximum(jax.nn.logsumexp(contrib, axis=2), NEG_BIG)
         active = (t < num_frames)[:, None]
@@ -111,8 +105,8 @@ def forward_backward_batch(
         beta, arc_post_sum = carry  # beta = beta[t+1]; (B, S), (B, S*M)
         t, ll_t, alpha_t = xs       # alpha_t = alphas[t]
         # arc posteriors at frame t (incoming-arc view)
-        ga = _select(oh_in_src, alpha_t).reshape(B, S, M)
-        ac = _select(oh_in_pdf, ll_t).reshape(B, S, M)
+        ga = sel_in_src(alpha_t).reshape(B, S, M)
+        ac = sel_in_pdf(ll_t).reshape(B, S, M)
         logp = (
             ga - in_cost + acoustic_scale * ac
             + beta[:, :, None] - log_z[:, None, None]
@@ -121,13 +115,13 @@ def forward_backward_batch(
         post = jnp.where((t < num_frames)[:, None, None], post, 0.0)
         post_flat = post.reshape(B, S * M)
         gamma_t = jnp.einsum(
-            "bx,bxp->bp", post_flat, oh_in_pdf,
+            "bx,bxg,bxj->bgj", post_flat, oh_pdf_hi, oh_pdf_lo,
             precision=_HI, preferred_element_type=jnp.float32,
-        )
+        ).reshape(B, Gp * Jp)[:, :P]
         arc_post_sum = arc_post_sum + post_flat
         # beta recursion (outgoing-arc view)
-        gb = _select(oh_out_dst, beta).reshape(B, S, Mo)
-        aco = _select(oh_out_pdf, ll_t).reshape(B, S, Mo)
+        gb = sel_out_dst(beta).reshape(B, S, Mo)
+        aco = sel_out_pdf(ll_t).reshape(B, S, Mo)
         contrib = gb - out_cost + acoustic_scale * aco
         new_beta = jnp.maximum(jax.nn.logsumexp(contrib, axis=2), NEG_BIG)
         beta = jnp.where((t < num_frames)[:, None], new_beta, beta)

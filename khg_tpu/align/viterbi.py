@@ -54,6 +54,41 @@ def _select(onehot: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_factored_select(indices: jnp.ndarray, size: int):
+    """Exact batched select ``values[b, indices[b, x]]`` with O(√size)
+    one-hot storage.
+
+    The flat (B, X, size) one-hot matmul is exact but streams
+    B·X·size floats from HBM every scan step, which becomes the
+    bottleneck at batch ≥ 128.  Factor the index as (hi, lo) over a
+    (G, J) grid: stage 1 selects column lo within EVERY group via a
+    (B, X, J) one-hot GEMM (same MACs, √size smaller operand); stage 2
+    picks group hi with an elementwise (B, X, G) mask-reduce.  Both
+    stages multiply by exact 0/1 masks, so the composite is an exact
+    f32 gather.
+    """
+    B, X = indices.shape
+    G = 1 << max(1, (size.bit_length() + 1) // 2)
+    J = -(-size // G)
+    Sp = G * J
+    oh_lo = jax.nn.one_hot(indices % J, J, dtype=jnp.float32)   # (B, X, J)
+    oh_hi = jax.nn.one_hot(indices // J, G, dtype=jnp.float32)  # (B, X, G)
+
+    def select(values: jnp.ndarray) -> jnp.ndarray:  # (B, size) -> (B, X)
+        v = jnp.pad(values, ((0, 0), (0, Sp - size))).reshape(B, G, J)
+        a1 = jnp.einsum(
+            "bxj,bgj->bxg", oh_lo, v,
+            precision=_HI, preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(oh_hi * a1, axis=-1)
+
+    return select
+
+
 @functools.partial(jax.jit, static_argnames=("acoustic_scale", "unroll"))
 def viterbi_align_batch(
     graphs,                   # BatchedGraphs (leading axis B)
@@ -71,16 +106,16 @@ def viterbi_align_batch(
     in_src = graphs.in_src.reshape(B, S * M)
     in_pdf = graphs.in_pdf.reshape(B, S * M)
     in_cost = graphs.in_cost
-    oh_src = jax.nn.one_hot(in_src, S, dtype=jnp.float32)   # (B, SM, S)
-    oh_pdf = jax.nn.one_hot(in_pdf, P, dtype=jnp.float32)   # (B, SM, P)
+    sel_src = make_factored_select(in_src, S)
+    sel_pdf = make_factored_select(in_pdf, P)
 
     ts = jnp.arange(T, dtype=jnp.int32)
     ll_seq = jnp.swapaxes(loglikes, 0, 1)  # (T, B, P)
 
     def step(alpha, xs):
         t, ll_t = xs
-        ga = _select(oh_src, alpha).reshape(B, S, M)
-        ac = _select(oh_pdf, ll_t).reshape(B, S, M)
+        ga = sel_src(alpha).reshape(B, S, M)
+        ac = sel_pdf(ll_t).reshape(B, S, M)
         score = ga + in_cost - acoustic_scale * ac
         bp_t = jnp.argmin(score, axis=2).astype(jnp.int32)  # (B, S)
         new_alpha = jnp.minimum(jnp.min(score, axis=2), BIG)
