@@ -29,7 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 import numpy as np
 
 
-def build_problem(num_graphs=16, batch=64, frames=500, dim=80, mix=16, seed=0):
+def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16, seed=0):
     import jax.numpy as jnp
 
     from khg_tpu.align.packed import pack_graph, pack_graph_batch
