@@ -14,7 +14,6 @@ Usage:  python egs/yesno_synth/run.py [--stage N] [--exp-dir exp]
 """
 
 import argparse
-import io
 import pickle
 import sys
 from pathlib import Path

@@ -46,18 +46,6 @@ class ViterbiResult(NamedTuple):
     failed: jnp.ndarray      # (B,) bool no complete path of length len
 
 
-def _select(onehot: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
-    """(B, X, Y) one-hot @ (B, Y) -> (B, X): exact gather as a matmul."""
-    return jnp.einsum(
-        "bxy,by->bx", onehot, values,
-        precision=_HI, preferred_element_type=jnp.float32,
-    )
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def make_factored_select(indices: jnp.ndarray, size: int):
     """Exact batched select ``values[b, indices[b, x]]`` with O(√size)
     one-hot storage.
