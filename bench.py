@@ -133,6 +133,8 @@ def main():
 
     from khg_tpu.utils.platform import ensure_backend
 
+    if "--cpu-only" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     ensure_backend()
 
     problem = build_problem()
@@ -167,5 +169,49 @@ def main():
     )
 
 
+def orchestrate():
+    """Run the measurement in a subprocess with a watchdog.
+
+    The TPU tunnel in this environment can wedge hard (even device
+    enumeration hangs in native code, unkillable from Python).  Running
+    the measurement in a child process bounds the damage: on timeout we
+    fall back to a CPU-only measurement, and always emit one JSON line.
+    """
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    for args, note in [([], None), (["--cpu-only"], "cpu-fallback")]:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", here, "--inner", *args],
+                capture_output=True, text=True, timeout=540,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                if note:
+                    rec = json.loads(line)
+                    rec["metric"] += f" ({note}: TPU unavailable)"
+                    line = json.dumps(rec)
+                print(line)
+                return
+    print(
+        json.dumps(
+            {
+                "metric": "align+acc-stats throughput (TPU and CPU "
+                "measurements both failed/timed out)",
+                "value": 0.0,
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        orchestrate()
