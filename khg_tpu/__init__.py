@@ -83,3 +83,9 @@ from khg_tpu.decode.lattice import (
     decode_utterance_lattice_faster,
 )
 from khg_tpu.decode.decodable import DecodableAmDiagGmmScaled, DecodableCtc
+from khg_tpu.model.kaldi_binary import (
+    load_transition_model,
+    load_tree,
+    save_transition_model,
+    save_tree,
+)
