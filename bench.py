@@ -89,6 +89,7 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
     import jax
     import jax.numpy as jnp
 
+    from khg_tpu.align.packed import uniform_dest_pdf
     from khg_tpu.align.viterbi import viterbi_align_batch
     from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
     from khg_tpu.stats.accum import accumulate_am_stats
@@ -99,12 +100,15 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
     feats = put(problem["feats"])
     lens = put(problem["lens"])
     id2pdf = put(problem["id2pdf"])
+    state_pdf = uniform_dest_pdf(problem["graphs"])
+    uniform = state_pdf is not None
 
     @jax.jit
     def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
         ll = gmm_loglikes(gconsts, miv, iv, feats)
         res = viterbi_align_batch(
             graphs, ll, lens, id2pdf, acoustic_scale=acoustic_scale,
+            state_pdf=graphs.in_pdf[:, :, 0] if uniform else None,
         )
         T = feats.shape[1]
         fw = (

@@ -191,6 +191,34 @@ def pack_graph(
     )
 
 
+# costs at/above this are padding ("unreachable"), mirroring viterbi.py
+FAIL_PAD_THRESHOLD = 1.0e29
+
+
+def uniform_dest_pdf(batched: "BatchedGraphs") -> Optional[np.ndarray]:
+    """(B, S) pdf-id per destination state, or None.
+
+    In H-level training graphs compiled with reorder=True self-loops
+    (graph/h_builder.py), every arc INTO a state carries that state's
+    emitting pdf, so the acoustic term of the Viterbi DP depends only on
+    the destination state.  When that holds (checked here on the host),
+    viterbi_align_batch can precompute the acoustic lattice for ALL
+    frames as one one-hot GEMM outside the scan instead of selecting
+    per-arc pdfs every step — the pdf one-hots are the larger half of
+    the scan's per-step HBM streaming.
+
+    Returns None if any state has incoming real arcs with differing
+    pdfs (fall back to the per-arc select).
+    """
+    in_pdf = np.asarray(batched.in_pdf)
+    real = np.asarray(batched.in_cost) < FAIL_PAD_THRESHOLD
+    first = in_pdf[:, :, :1]
+    if np.any(real & (in_pdf != first)):
+        return None
+    # states with no real arcs keep pdf of slot 0 (never traversed)
+    return first[:, :, 0].astype(np.int32)
+
+
 def pack_graph_batch(
     graphs: Sequence[PackedGraph],
     states_pad_to: int = 1,

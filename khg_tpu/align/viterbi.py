@@ -46,7 +46,7 @@ class ViterbiResult(NamedTuple):
     failed: jnp.ndarray      # (B,) bool no complete path of length len
 
 
-def make_factored_select(indices: jnp.ndarray, size: int):
+def make_factored_select(indices: jnp.ndarray, size: int, mask_dtype=jnp.float32):
     """Exact batched select ``values[b, indices[b, x]]`` with O(√size)
     one-hot storage.
 
@@ -63,16 +63,19 @@ def make_factored_select(indices: jnp.ndarray, size: int):
     G = 1 << max(1, (size.bit_length() + 1) // 2)
     J = -(-size // G)
     Sp = G * J
-    oh_lo = jax.nn.one_hot(indices % J, J, dtype=jnp.float32)   # (B, X, J)
-    oh_hi = jax.nn.one_hot(indices // J, G, dtype=jnp.float32)  # (B, X, G)
+    # 0/1 masks are exact in bf16; the einsum/multiply below promotes to
+    # f32 before accumulating, so bf16 masks halve the per-step HBM
+    # streaming without changing a single bit of the result.
+    oh_lo = jax.nn.one_hot(indices % J, J, dtype=mask_dtype)   # (B, X, J)
+    oh_hi = jax.nn.one_hot(indices // J, G, dtype=mask_dtype)  # (B, X, G)
 
     def select(values: jnp.ndarray) -> jnp.ndarray:  # (B, size) -> (B, X)
         v = jnp.pad(values, ((0, 0), (0, Sp - size))).reshape(B, G, J)
         a1 = jnp.einsum(
-            "bxj,bgj->bxg", oh_lo, v,
+            "bxj,bgj->bxg", oh_lo.astype(jnp.float32), v,
             precision=_HI, preferred_element_type=jnp.float32,
         )
-        return jnp.sum(oh_hi * a1, axis=-1)
+        return jnp.sum(oh_hi.astype(jnp.float32) * a1, axis=-1)
 
     return select
 
@@ -85,8 +88,17 @@ def viterbi_align_batch(
     id2pdf: jnp.ndarray,     # (num_tids+1,) int32
     acoustic_scale: float = 1.0,
     unroll: int = 8,
+    state_pdf: Optional[jnp.ndarray] = None,  # (B, S) int32 or None
 ) -> ViterbiResult:
-    """Exact batched Viterbi alignment of B utterances."""
+    """Exact batched Viterbi alignment of B utterances.
+
+    ``state_pdf`` (from align.packed.uniform_dest_pdf) enables the
+    fast acoustic path: when every arc into a state carries the same
+    pdf, the acoustic lattice ac[t, b, s] is precomputed for ALL frames
+    as one one-hot GEMM outside the scan, halving the scan's per-step
+    one-hot HBM streaming.  Scores of padding arcs change (BIG swamps
+    them either way), so results are identical for every feasible path.
+    """
     B, S, M = graphs.in_src.shape
     T = loglikes.shape[1]
     P = loglikes.shape[2]
@@ -94,26 +106,48 @@ def viterbi_align_batch(
     in_src = graphs.in_src.reshape(B, S * M)
     in_pdf = graphs.in_pdf.reshape(B, S * M)
     in_cost = graphs.in_cost
-    sel_src = make_factored_select(in_src, S)
-    sel_pdf = make_factored_select(in_pdf, P)
+    sel_src = make_factored_select(in_src, S, mask_dtype=jnp.bfloat16)
 
     ts = jnp.arange(T, dtype=jnp.int32)
     ll_seq = jnp.swapaxes(loglikes, 0, 1)  # (T, B, P)
 
-    def step(alpha, xs):
-        t, ll_t = xs
-        ga = sel_src(alpha).reshape(B, S, M)
-        ac = sel_pdf(ll_t).reshape(B, S, M)
-        score = ga + in_cost - acoustic_scale * ac
-        bp_t = jnp.argmin(score, axis=2).astype(jnp.int32)  # (B, S)
-        new_alpha = jnp.minimum(jnp.min(score, axis=2), BIG)
-        active = (t < num_frames)[:, None]
-        alpha = jnp.where(active, new_alpha, alpha)
-        return alpha, bp_t
+    if state_pdf is not None:
+        ohp = jax.nn.one_hot(state_pdf, P, dtype=jnp.float32)  # (B, S, P)
+        ac_seq = jnp.einsum(
+            "btp,bsp->tbs", loglikes, ohp,
+            precision=_HI, preferred_element_type=jnp.float32,
+        )  # (T, B, S): exact select, MXU, outside the scan
 
-    alpha_T, bp = jax.lax.scan(
-        step, graphs.init_cost, (ts, ll_seq), unroll=unroll
-    )  # bp: (T, B, S)
+        def step(alpha, xs):
+            t, ac_t = xs
+            ga = sel_src(alpha).reshape(B, S, M)
+            score = ga + in_cost - acoustic_scale * ac_t[:, :, None]
+            bp_t = jnp.argmin(score, axis=2).astype(jnp.int32)  # (B, S)
+            new_alpha = jnp.minimum(jnp.min(score, axis=2), BIG)
+            active = (t < num_frames)[:, None]
+            alpha = jnp.where(active, new_alpha, alpha)
+            return alpha, bp_t
+
+        alpha_T, bp = jax.lax.scan(
+            step, graphs.init_cost, (ts, ac_seq), unroll=unroll
+        )  # bp: (T, B, S)
+    else:
+        sel_pdf = make_factored_select(in_pdf, P)
+
+        def step(alpha, xs):
+            t, ll_t = xs
+            ga = sel_src(alpha).reshape(B, S, M)
+            ac = sel_pdf(ll_t).reshape(B, S, M)
+            score = ga + in_cost - acoustic_scale * ac
+            bp_t = jnp.argmin(score, axis=2).astype(jnp.int32)  # (B, S)
+            new_alpha = jnp.minimum(jnp.min(score, axis=2), BIG)
+            active = (t < num_frames)[:, None]
+            alpha = jnp.where(active, new_alpha, alpha)
+            return alpha, bp_t
+
+        alpha_T, bp = jax.lax.scan(
+            step, graphs.init_cost, (ts, ll_seq), unroll=unroll
+        )  # bp: (T, B, S)
 
     totals = alpha_T + graphs.final_cost
     end_state = jnp.argmin(totals, axis=1)  # (B,)

@@ -23,7 +23,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from khg_tpu.align.packed import BIG, PackedGraph, pack_graph, pack_graph_batch
+from khg_tpu.align.packed import (
+    BIG,
+    PackedGraph,
+    pack_graph,
+    pack_graph_batch,
+    uniform_dest_pdf,
+)
 from khg_tpu.align.viterbi import FAIL_THRESHOLD, viterbi_align_batch
 from khg_tpu.est.flags import GMM_ALL
 from khg_tpu.fstlib.fst import VectorFst
@@ -165,11 +171,13 @@ class EStepPipeline:
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
             )
+            state_pdf = uniform_dest_pdf(graphs)
             with self.counters.phase("align", frames=int(lens.sum())):
                 ll = self._loglikes(model, bfeats)
                 res = viterbi_align_batch(
                     graphs, ll, lens, self.id2pdf,
                     acoustic_scale=self.acoustic_scale,
+                    state_pdf=state_pdf,
                 )
                 # fetch inside the phase: device completion is only
                 # observable through a value transfer on some backends

@@ -211,3 +211,40 @@ def test_acoustic_cost_decomposition(setup):
     assert math.isclose(
         float(np.asarray(res.acoustic_cost)[0]), expected_ac, rel_tol=1e-4
     )
+
+
+def test_state_pdf_fast_path_identical(setup):
+    """uniform_dest_pdf holds on H-level graphs; the per-state acoustic
+    path must reproduce the per-arc path exactly."""
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    id2pdf = tm.id2pdf_array()
+    words = [
+        [lp.word2id["YES"]],
+        [lp.word2id["NO"], lp.word2id["YES"]],
+    ]
+    lens = [14, 27]
+    graphs = [aligned_graph(gc, tm, w) for w in words]
+    packed = [pack_graph(g, id2pdf) for g in graphs]
+    Tmax = max(lens)
+    feats = np.zeros((2, Tmax, 6), dtype=np.float32)
+    for i, t in enumerate(lens):
+        feats[i, :t] = rng.standard_normal((t, 6)).astype(np.float32)
+    ll = loglikes_np(am.pack(), feats)
+    arrays = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+
+    state_pdf = uniform_dest_pdf(arrays)
+    assert state_pdf is not None  # reorder=True H graphs are uniform
+
+    nf = np.array(lens, dtype=np.int32)
+    res_slow = viterbi_align_batch(arrays, ll, nf, id2pdf, acoustic_scale=0.5)
+    res_fast = viterbi_align_batch(
+        arrays, ll, nf, id2pdf, acoustic_scale=0.5, state_pdf=state_pdf
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_fast.tids), np.asarray(res_slow.tids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_fast.total_cost), np.asarray(res_slow.total_cost)
+    )

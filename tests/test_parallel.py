@@ -41,10 +41,12 @@ def build_sharded_problem(num_utts=8, T=24, dim=6, seed=0):
     return lp, tm, am, packed_model, weights, graphs, feats, lens, id2pdf
 
 
-def run_step(n_devices, problem, acoustic_scale=0.5):
+def run_step(n_devices, problem, acoustic_scale=0.5, uniform_dest_pdf=False):
     lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
     mesh = make_data_mesh(n_devices, devices=jax.devices("cpu")[:n_devices])
-    step = sharded_em_step(mesh, acoustic_scale=acoustic_scale)
+    step = sharded_em_step(
+        mesh, acoustic_scale=acoustic_scale, uniform_dest_pdf=uniform_dest_pdf
+    )
     return step(
         (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
          jnp.asarray(pm.inv_vars), jnp.asarray(weights)),
@@ -129,3 +131,18 @@ def test_device_em_improves_loglike():
     # hard-EM with exact Viterbi: monotone within f32 tolerance
     for a, b in zip(lls, lls[1:]):
         assert b > a - 1.0, lls
+
+
+def test_uniform_dest_pdf_fast_path_invariant():
+    """The per-state acoustic fast path must give identical sharded-EM
+    results (tids, stats, updated model) to the per-arc path."""
+    from khg_tpu.align.packed import uniform_dest_pdf as check_uniform
+
+    problem = build_sharded_problem()
+    graphs = problem[5]
+    assert check_uniform(graphs) is not None
+    a = run_step(2, problem, uniform_dest_pdf=False)
+    b = run_step(2, problem, uniform_dest_pdf=True)
+    np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(b.tids))
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=0, atol=0)
