@@ -74,9 +74,23 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16, seed=0):
     pm = am.pack(mix_pad_to=8, dim_pad_to=1)
     feats = rng.standard_normal((batch, frames, dim)).astype(np.float32)
     lens = np.full(batch, frames, dtype=np.int32)
+
+    # banded (offset-plane) form for the fused Pallas Viterbi kernel
+    from khg_tpu.align.banded import band_renumber, pack_banded
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    banded, offsets = None, None
+    renumbered, _ = band_renumber(graph_arrays)
+    sp = uniform_dest_pdf(renumbered)
+    if sp is not None:
+        out = pack_banded(renumbered, sp)
+        if out is not None:
+            banded, offsets = out
     return {
         "model": (pm.gconsts, pm.means_invvars, pm.inv_vars),
         "graphs": graph_arrays,
+        "banded": banded,
+        "offsets": offsets,
         "feats": feats,
         "lens": lens,
         "id2pdf": id2pdf,
@@ -90,26 +104,39 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
     import jax.numpy as jnp
 
     from khg_tpu.align.packed import uniform_dest_pdf
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
     from khg_tpu.align.viterbi import viterbi_align_batch
     from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
     from khg_tpu.stats.accum import accumulate_am_stats
 
     put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
     gconsts, miv, iv = (put(x) for x in problem["model"])
-    graphs = jax.tree.map(put, problem["graphs"])
     feats = put(problem["feats"])
     lens = put(problem["lens"])
     id2pdf = put(problem["id2pdf"])
-    state_pdf = uniform_dest_pdf(problem["graphs"])
-    uniform = state_pdf is not None
+    banded = problem.get("banded")
+    use_banded = banded is not None and device.platform != "cpu"
+    if use_banded:
+        graphs = jax.tree.map(put, banded)
+        offsets = problem["offsets"]
+    else:
+        graphs = jax.tree.map(put, problem["graphs"])
+        state_pdf = uniform_dest_pdf(problem["graphs"])
+        uniform = state_pdf is not None
 
     @jax.jit
     def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
         ll = gmm_loglikes(gconsts, miv, iv, feats)
-        res = viterbi_align_batch(
-            graphs, ll, lens, id2pdf, acoustic_scale=acoustic_scale,
-            state_pdf=graphs.in_pdf[:, :, 0] if uniform else None,
-        )
+        if use_banded:
+            res = viterbi_align_banded(
+                graphs, offsets, ll, lens, id2pdf,
+                acoustic_scale=acoustic_scale, block_b=32,
+            )
+        else:
+            res = viterbi_align_batch(
+                graphs, ll, lens, id2pdf, acoustic_scale=acoustic_scale,
+                state_pdf=graphs.in_pdf[:, :, 0] if uniform else None,
+            )
         T = feats.shape[1]
         fw = (
             (jnp.arange(T)[None, :] < lens[:, None]) & ~res.failed[:, None]

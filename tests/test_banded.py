@@ -1,0 +1,124 @@
+"""Banded (offset-plane) graph packing: renumbering preserves the DP,
+the banded host reference matches the independent per-arc host DP, and
+the Pallas banded kernel (interpret mode) matches both."""
+
+import numpy as np
+
+from khg_tpu.align.banded import (
+    band_renumber,
+    pack_banded,
+    viterbi_banded_host,
+)
+from khg_tpu.align.packed import pack_graph, pack_graph_batch, uniform_dest_pdf
+from khg_tpu.align.viterbi import viterbi_align_batch
+from khg_tpu.gmm.likelihoods import loglikes_np
+
+from tests.test_align import aligned_graph, host_viterbi, setup  # noqa: F401
+
+
+def _problem(setup_tuple, lens, words, seed_feats=True):
+    lp, topo, tree, tm, gc, am, rng = setup_tuple
+    id2pdf = tm.id2pdf_array()
+    graphs = [aligned_graph(gc, tm, w) for w in words]
+    packed = [pack_graph(g, id2pdf) for g in graphs]
+    Tmax = max(lens)
+    feats = np.zeros((len(lens), Tmax, 6), dtype=np.float32)
+    for i, t in enumerate(lens):
+        feats[i, :t] = rng.standard_normal((t, 6)).astype(np.float32)
+    ll = loglikes_np(am.pack(), feats)
+    arrays = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+    return graphs, arrays, np.asarray(ll), np.array(lens, np.int32), id2pdf
+
+
+def test_band_renumber_preserves_viterbi(setup):  # noqa: F811
+    lp = setup[0]
+    words = [
+        [lp.word2id["YES"], lp.word2id["NO"]],
+        [lp.word2id["NO"]],
+    ]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, [22, 13], words)
+    ren, perm = band_renumber(arrays)
+    res0 = viterbi_align_batch(arrays, ll, nf, id2pdf, acoustic_scale=0.5)
+    res1 = viterbi_align_batch(ren, ll, nf, id2pdf, acoustic_scale=0.5)
+    # state ids are internal: tids and costs must be unchanged
+    np.testing.assert_array_equal(np.asarray(res1.tids), np.asarray(res0.tids))
+    np.testing.assert_allclose(
+        np.asarray(res1.total_cost), np.asarray(res0.total_cost), rtol=1e-6
+    )
+
+
+def test_banded_host_matches_per_arc_host(setup):  # noqa: F811
+    lp = setup[0]
+    words = [
+        [lp.word2id["YES"]],
+        [lp.word2id["NO"], lp.word2id["YES"], lp.word2id["NO"]],
+    ]
+    lens = [15, 40]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    assert sp is not None
+    out = pack_banded(ren, sp)
+    assert out is not None, "band menu must cover small training graphs"
+    banded, offsets = out
+
+    tids, costs = viterbi_banded_host(banded, offsets, ll, nf, 0.5)
+    for i, g in enumerate(graphs):
+        host = host_viterbi(g, ll[i, : lens[i]], id2pdf, acoustic_scale=0.5)
+        assert host is not None
+        host_tids, host_cost = host
+        assert tids[i, : lens[i]].tolist() == host_tids, i
+        np.testing.assert_allclose(costs[i], host_cost, rtol=1e-4)
+
+
+def test_pallas_banded_kernel_interpret(setup):  # noqa: F811
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+    lp = setup[0]
+    words = [
+        [lp.word2id["YES"]],
+        [lp.word2id["NO"], lp.word2id["NO"]],
+        [lp.word2id["YES"], lp.word2id["NO"]],
+    ]
+    lens = [12, 19, 30]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    banded, offsets = pack_banded(ren, sp)
+
+    res = viterbi_align_banded(
+        banded, offsets, ll, nf, id2pdf, acoustic_scale=0.5,
+        block_b=2, time_chunk=16, lane=8, interpret=True,
+    )
+    assert not np.asarray(res.failed).any()
+
+    # vs independent banded host DP: exact
+    h_tids, h_costs = viterbi_banded_host(banded, offsets, ll, nf, 0.5)
+    np.testing.assert_array_equal(np.asarray(res.tids), h_tids)
+    np.testing.assert_allclose(
+        np.asarray(res.total_cost), h_costs, rtol=0, atol=0
+    )
+
+    # vs the per-arc host DP and XLA path: same tids/costs
+    res_x = viterbi_align_batch(arrays, ll, nf, id2pdf, acoustic_scale=0.5)
+    np.testing.assert_allclose(
+        np.asarray(res.total_cost), np.asarray(res_x.total_cost), rtol=1e-6
+    )
+    for i, g in enumerate(graphs):
+        host = host_viterbi(g, ll[i, : lens[i]], id2pdf, acoustic_scale=0.5)
+        assert np.asarray(res.tids)[i, : lens[i]].tolist() == host[0], i
+
+
+def test_pallas_banded_infeasible(setup):  # noqa: F811
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+    lp = setup[0]
+    words = [[lp.word2id["YES"], lp.word2id["NO"]]]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, [3], words)
+    ren, _ = band_renumber(arrays)
+    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+    res = viterbi_align_banded(
+        banded, offsets, ll, nf, id2pdf, acoustic_scale=0.5,
+        block_b=1, time_chunk=8, lane=8, interpret=True,
+    )
+    assert bool(np.asarray(res.failed)[0])
