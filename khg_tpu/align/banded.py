@@ -200,13 +200,19 @@ def pack_banded(
 
     plane_cost = np.full((B, D, S), BIG, dtype=np.float32)
     plane_tid = np.zeros((B, D, S), dtype=np.int32)
+    # vectorized min-cost/first-tie reduction over parallel arcs: sort by
+    # (plane cell, cost, original arc order) and keep each cell's first row
     bs, ss, ms = np.nonzero(real)
-    for b, s, m in zip(bs.tolist(), ss.tolist(), ms.tolist()):
-        d = int(offs[b, s, m]) - base
-        c = in_cost[b, s, m]
-        if c < plane_cost[b, d, s]:  # strict: first parallel arc wins ties
-            plane_cost[b, d, s] = c
-            plane_tid[b, d, s] = in_tid[b, s, m]
+    cost = in_cost[bs, ss, ms]
+    tid = in_tid[bs, ss, ms]
+    cell = (bs.astype(np.int64) * D + (offs[bs, ss, ms] - base)) * S + ss
+    order = np.lexsort((np.arange(len(cell)), cost, cell))
+    cell_sorted = cell[order]
+    first = np.ones(len(cell), dtype=bool)
+    first[1:] = cell_sorted[1:] != cell_sorted[:-1]
+    sel = order[first]
+    plane_cost.reshape(-1)[cell[sel]] = cost[sel]
+    plane_tid.reshape(-1)[cell[sel]] = tid[sel]
 
     banded = BandedGraphs(
         plane_cost=plane_cost,

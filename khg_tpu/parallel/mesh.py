@@ -117,6 +117,8 @@ def sharded_em_step(
     mesh: Mesh,
     acoustic_scale: float = 1.0,
     uniform_dest_pdf: bool = False,
+    banded_offsets: Optional[Tuple[int, ...]] = None,
+    banded_interpret: bool = False,
 ):
     """Build the jitted full EM step over the mesh.
 
@@ -125,10 +127,16 @@ def sharded_em_step(
     path in the Viterbi scan — identical results, about half the
     per-step HBM streaming.
 
+    Pass ``banded_offsets`` (from align.banded.pack_banded) to run the
+    fused banded Pallas kernel per shard instead of the XLA scan; the
+    ``graphs`` argument is then a BandedGraphs tuple.  Plane tables
+    shard over "dp" exactly like the arc tables — the kernel is a
+    per-shard drop-in, so the psum/M-step plumbing is unchanged.
+
     Returns a function
       step(model (gconsts, miv, iv, weights), graphs (in_src, in_tid,
-           in_pdf, in_cost, init_cost, final_cost), feats, num_frames,
-           id2pdf) -> EmStepResult
+           in_pdf, in_cost, init_cost, final_cost) OR BandedGraphs,
+           feats, num_frames, id2pdf) -> EmStepResult
     with batch axes sharded over "dp" and the model replicated.  The
     M-step runs on the psummed stats, replicated, keeping every chip's
     model bitwise identical.
@@ -142,11 +150,21 @@ def sharded_em_step(
         gconsts, miv, iv, weights = model
 
         ll = gmm_loglikes(gconsts, miv, iv, feats)
-        state_pdf = graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
-        res = viterbi_align_batch(
-            graphs, ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
-            state_pdf=state_pdf,
-        )
+        if banded_offsets is not None:
+            from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+            res = viterbi_align_banded(
+                graphs, banded_offsets, ll, num_frames, id2pdf,
+                acoustic_scale=acoustic_scale,
+                block_b=min(32, graphs.plane_cost.shape[0]),
+                interpret=banded_interpret,
+            )
+        else:
+            state_pdf = graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
+            res = viterbi_align_batch(
+                graphs, ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
+                state_pdf=state_pdf,
+            )
         T = feats.shape[1]
         frame_weights = (
             (jnp.arange(T)[None, :] < num_frames[:, None])
@@ -170,14 +188,20 @@ def sharded_em_step(
             tot_ll, tot_frames, ng, nmiv, niv, nw,
         )
 
+    from khg_tpu.align.banded import BandedGraphs
     from khg_tpu.align.packed import BatchedGraphs
 
+    graphs_spec = (
+        BandedGraphs(*([dp] * 5))
+        if banded_offsets is not None
+        else BatchedGraphs(*([dp] * 10))
+    )
     sharded = shard_map(
         step,
         mesh=mesh,
         in_specs=(
             (rep, rep, rep, rep),               # model replicated
-            BatchedGraphs(*([dp] * 10)),        # graphs sharded over batch
+            graphs_spec,                        # graphs sharded over batch
             dp,                                 # feats
             dp,                                 # num_frames
             rep,                                # id2pdf

@@ -74,10 +74,17 @@ class EStepPipeline:
         indeg_pad_multiple: int = 2,
         mix_pad_multiple: int = 1,
         likelihood_backend: str = "xla",
+        align_backend: str = "xla",
     ):
         """``likelihood_backend``: "xla" (f32, exact — default), "xla_bf16"
         (MXU-native, ~1.3x faster scoring), "pallas" (fused logsumexp
-        kernel), or "pallas_bf16" (fastest)."""
+        kernel), or "pallas_bf16" (fastest).
+
+        ``align_backend``: "xla" (one-hot scan — default) or "banded"
+        (fused Pallas offset-plane kernel, ~2x faster on TPU; falls back
+        to "xla" per batch when the graphs do not fit a band menu or
+        VMEM).  Both are exact; ties between equal-cost parallel arcs
+        may resolve to a different equally-optimal alignment."""
         self.tm = transition_model
         self.acoustic_scale = acoustic_scale
         self.transition_scale = transition_scale
@@ -93,6 +100,8 @@ class EStepPipeline:
         self.counters = Counters()
         assert likelihood_backend in ("xla", "xla_bf16", "pallas", "pallas_bf16")
         self.likelihood_backend = likelihood_backend
+        assert align_backend in ("xla", "banded")
+        self.align_backend = align_backend
 
     def _loglikes(self, model, bfeats):
         dtype = "bfloat16" if self.likelihood_backend.endswith("bf16") else None
@@ -107,6 +116,33 @@ class EStepPipeline:
             model.gconsts, model.means_invvars, model.inv_vars, bfeats,
             compute_dtype=dtype,
         )
+
+    def _try_pack_banded(self, graphs, frames):
+        """Banded tables for this batch, or None to use the XLA path."""
+        import jax
+
+        from khg_tpu.align.banded import band_renumber, pack_banded
+        from khg_tpu.align.pallas_banded import banded_vmem_bytes
+
+        ren, _ = band_renumber(graphs)
+        sp = uniform_dest_pdf(ren)
+        if sp is None:
+            return None
+        out = pack_banded(ren, sp)
+        if out is None:
+            return None
+        banded, offsets = out
+        B, DK, S = banded.plane_cost.shape
+        if DK >= 128:  # int8 backpointer limit
+            return None
+        P = int(self.id2pdf.max()) + 1  # pdf one-hot width = num loglike cols
+        block_b = min(32, B)
+        while block_b > 1 and banded_vmem_bytes(
+            B, DK, S, frames, P, block_b=block_b
+        ) > 12 * 2**20:
+            block_b //= 2
+        interpret = jax.default_backend() == "cpu"
+        return banded, offsets, block_b, interpret
 
     # ------------------------------------------------------------- packing
 
@@ -171,14 +207,28 @@ class EStepPipeline:
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
             )
-            state_pdf = uniform_dest_pdf(graphs)
+            banded_args = (
+                self._try_pack_banded(graphs, bt)
+                if self.align_backend == "banded" else None
+            )
+            state_pdf = None if banded_args else uniform_dest_pdf(graphs)
             with self.counters.phase("align", frames=int(lens.sum())):
                 ll = self._loglikes(model, bfeats)
-                res = viterbi_align_batch(
-                    graphs, ll, lens, self.id2pdf,
-                    acoustic_scale=self.acoustic_scale,
-                    state_pdf=state_pdf,
-                )
+                if banded_args:
+                    from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+                    banded, offsets, block_b, interpret = banded_args
+                    res = viterbi_align_banded(
+                        banded, offsets, ll, lens, self.id2pdf,
+                        acoustic_scale=self.acoustic_scale,
+                        block_b=block_b, interpret=interpret,
+                    )
+                else:
+                    res = viterbi_align_batch(
+                        graphs, ll, lens, self.id2pdf,
+                        acoustic_scale=self.acoustic_scale,
+                        state_pdf=state_pdf,
+                    )
                 # fetch inside the phase: device completion is only
                 # observable through a value transfer on some backends
                 tids = np.asarray(res.tids)

@@ -122,3 +122,42 @@ def test_pallas_banded_infeasible(setup):  # noqa: F811
         block_b=1, time_chunk=8, lane=8, interpret=True,
     )
     assert bool(np.asarray(res.failed)[0])
+
+
+def test_pipeline_banded_backend_matches_xla():
+    """EStepPipeline(align_backend='banded') produces the same likelihood,
+    alignments, and stats as the XLA path (interpret-mode kernel on CPU)."""
+    from khg_tpu.est.flags import GMM_ALL
+    from khg_tpu.recipes.pipeline import EStepPipeline
+    from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+    from khg_tpu.stats.accum import AccumAmDiagGmm
+
+    rng = np.random.default_rng(5)
+    lp, corpus = make_synthetic_corpus(num_utts=4, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=3, total_gauss=20, max_iter_inc=2,
+        realign_iters="1 2",
+    )
+    am, tm = result.am, result.transition_model
+
+    outs = {}
+    for backend in ("xla", "banded"):
+        pipeline = EStepPipeline(
+            tm, acoustic_scale=1.0, self_loop_scale=0.1,
+            align_backend=backend,
+        )
+        packed = pipeline.pack_graphs(result.graphs)
+        accs = AccumAmDiagGmm()
+        accs.init(am, flags=GMM_ALL)
+        res = pipeline.align_and_accumulate(am, packed, corpus.feats, accs)
+        outs[backend] = (res, accs)
+
+    rx, ax = outs["xla"]
+    rb, ab = outs["banded"]
+    assert rx.num_done == rb.num_done and rx.num_error == rb.num_error
+    np.testing.assert_allclose(rb.tot_like, rx.tot_like, rtol=1e-5)
+    assert rx.alignments == rb.alignments  # no ties in random-weight models
+    for p in range(ax.num_accs):
+        np.testing.assert_allclose(
+            ab.get_acc(p).occupancy, ax.get_acc(p).occupancy, rtol=1e-6
+        )

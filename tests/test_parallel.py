@@ -146,3 +146,37 @@ def test_uniform_dest_pdf_fast_path_invariant():
     np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(b.tids))
     for fa, fb in zip(a, b):
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=0, atol=0)
+
+
+def test_sharded_banded_kernel_matches_xla():
+    """The banded Pallas kernel drops into the sharded EM step per shard
+    (interpret mode on the CPU mesh): same stats, costs, and model."""
+    from khg_tpu.align.banded import band_renumber, pack_banded
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    problem = build_sharded_problem()
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    ren, _ = band_renumber(graphs)
+    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+
+    a = run_step(2, problem, uniform_dest_pdf=True)
+
+    mesh = make_data_mesh(2, devices=jax.devices("cpu")[:2])
+    step = sharded_em_step(
+        mesh, acoustic_scale=0.5,
+        banded_offsets=offsets, banded_interpret=True,
+    )
+    b = step(
+        (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+         jnp.asarray(pm.inv_vars), jnp.asarray(weights)),
+        jax.tree.map(jnp.asarray, banded),
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(id2pdf),
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.total_cost), np.asarray(a.total_cost), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(np.asarray(b.tids), np.asarray(a.tids))
+    np.testing.assert_allclose(np.asarray(b.occ), np.asarray(a.occ))
+    np.testing.assert_allclose(
+        np.asarray(b.new_inv_vars), np.asarray(a.new_inv_vars)
+    )
