@@ -52,7 +52,19 @@ def forward_backward_batch(
     num_tids: int,
     acoustic_scale: float = 1.0,
     unroll: int = 8,
+    state_pdf=None,          # (B, S) int32 or None (align.packed.uniform_dest_pdf)
 ) -> FBResult:
+    """``state_pdf`` enables the fast acoustic path (as in viterbi.py):
+    when every arc into a state carries that state's pdf, the acoustic
+    lattice is ONE one-hot GEMM outside the scans, and because the
+    acoustic term then shares the arc-destination index with beta, BOTH
+    per-arc pdf selects disappear — the backward step selects
+    (beta + scale*ac) through the out_dst one-hots it already needed."""
+    if state_pdf is not None:
+        return _forward_backward_state_pdf(
+            graphs, loglikes, num_frames, num_tids, acoustic_scale,
+            unroll, state_pdf,
+        )
     B, S, M = graphs.in_src.shape
     Mo = graphs.out_dst.shape[2]
     T, P = loglikes.shape[1:]
@@ -132,6 +144,103 @@ def forward_backward_batch(
         bwd_step,
         (fin, jnp.zeros((B, S * M), jnp.float32)),
         (ts_rev, ll_seq[::-1], alphas[:-1][::-1]),
+        unroll=unroll,
+    )
+    gamma = jnp.swapaxes(gammas_rev[::-1], 0, 1)  # (B, T, P)
+
+    tid_counts = jnp.einsum(
+        "bx,bxn->bn", arc_post_sum, oh_in_tid,
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    tid_counts = tid_counts.at[:, 0].set(0.0)
+    return FBResult(log_z, gamma, tid_counts, failed)
+
+
+def _forward_backward_state_pdf(
+    graphs, loglikes, num_frames, num_tids, acoustic_scale, unroll, state_pdf
+) -> FBResult:
+    """Fast path: dest-uniform pdfs (see forward_backward_batch).
+
+    The acoustic term indexes by arc DESTINATION, so it broadcasts over
+    incoming arcs (forward / posterior) and rides the out_dst select
+    (backward) — no per-arc pdf selects, no per-step pdf one-hots.
+    """
+    B, S, M = graphs.in_src.shape
+    Mo = graphs.out_dst.shape[2]
+    T, P = loglikes.shape[1:]
+
+    from khg_tpu.align.viterbi import make_factored_select
+
+    bf16 = jnp.bfloat16
+    sel_in_src = make_factored_select(
+        graphs.in_src.reshape(B, S * M), S, mask_dtype=bf16
+    )
+    sel_out_dst = make_factored_select(
+        graphs.out_dst.reshape(B, S * Mo), S, mask_dtype=bf16
+    )
+    oh_state_pdf = jax.nn.one_hot(state_pdf, P, dtype=jnp.float32)  # (B,S,P)
+    oh_in_tid = jax.nn.one_hot(
+        graphs.in_tid.reshape(B, S * M), num_tids + 1, dtype=jnp.float32
+    )
+    in_cost = graphs.in_cost
+    out_cost = graphs.out_cost
+
+    # per-state scaled acoustic lattice for ALL frames: one MXU GEMM
+    sac_seq = acoustic_scale * jnp.einsum(
+        "btp,bsp->tbs", loglikes, oh_state_pdf,
+        precision=_HI, preferred_element_type=jnp.float32,
+    )  # (T, B, S)
+
+    init = jnp.maximum(-graphs.init_cost, NEG_BIG)
+    fin = jnp.maximum(-graphs.final_cost, NEG_BIG)
+    ts = jnp.arange(T, dtype=jnp.int32)
+
+    def fwd_step(alpha, xs):
+        t, sac_t = xs
+        ga = sel_in_src(alpha).reshape(B, S, M)
+        contrib = ga - in_cost + sac_t[:, :, None]
+        new_alpha = jnp.maximum(jax.nn.logsumexp(contrib, axis=2), NEG_BIG)
+        active = (t < num_frames)[:, None]
+        alpha = jnp.where(active, new_alpha, alpha)
+        return alpha, alpha
+
+    alpha_T, alphas_next = jax.lax.scan(
+        fwd_step, init, (ts, sac_seq), unroll=unroll
+    )
+    alphas = jnp.concatenate([init[None], alphas_next], axis=0)  # (T+1, B, S)
+
+    log_z = jax.nn.logsumexp(alpha_T + fin, axis=1)  # (B,)
+    failed = log_z < NEG_BIG / 2
+
+    def bwd_step(carry, xs):
+        beta, arc_post_sum = carry  # beta = beta[t+1]; (B, S), (B, S*M)
+        t, sac_t, alpha_t = xs
+        # dest-indexed terms share one vector: beta + scale*ac - logZ
+        bplus = beta + sac_t
+        ga = sel_in_src(alpha_t).reshape(B, S, M)
+        logp = ga - in_cost + (bplus - log_z[:, None])[:, :, None]
+        post = jnp.exp(jnp.minimum(logp, 0.0))
+        post = jnp.where((t < num_frames)[:, None, None], post, 0.0)
+        post_flat = post.reshape(B, S * M)
+        # gamma via STATE posteriors (pdf is a function of the state)
+        state_post = jnp.sum(post, axis=2)  # (B, S)
+        gamma_t = jnp.einsum(
+            "bs,bsp->bp", state_post, oh_state_pdf,
+            precision=_HI, preferred_element_type=jnp.float32,
+        )
+        arc_post_sum = arc_post_sum + post_flat
+        # beta recursion: ONE select of (beta + scale*ac) over out_dst
+        gb = sel_out_dst(bplus).reshape(B, S, Mo)
+        new_beta = jnp.maximum(
+            jax.nn.logsumexp(gb - out_cost, axis=2), NEG_BIG
+        )
+        beta = jnp.where((t < num_frames)[:, None], new_beta, beta)
+        return (beta, arc_post_sum), gamma_t
+
+    (beta0, arc_post_sum), gammas_rev = jax.lax.scan(
+        bwd_step,
+        (fin, jnp.zeros((B, S * M), jnp.float32)),
+        (ts[::-1], sac_seq[::-1], alphas[:-1][::-1]),
         unroll=unroll,
     )
     gamma = jnp.swapaxes(gammas_rev[::-1], 0, 1)  # (B, T, P)

@@ -312,6 +312,7 @@ class EStepPipeline:
             fb = forward_backward_batch(
                 graphs, ll, lens, self.tm.num_transition_ids,
                 acoustic_scale=self.acoustic_scale,
+                state_pdf=uniform_dest_pdf(graphs),
             )
             failed = np.asarray(fb.failed)
             gamma = np.array(fb.gamma)  # copy: zero out failed utterances

@@ -168,3 +168,40 @@ def test_fb_variable_lengths(setup):
         np.testing.assert_allclose(gamma.sum(axis=1), 1.0, rtol=1e-3)
         # padding frames carry no mass
         assert np.all(np.asarray(res.gamma)[i, lens[i]:] < 1e-5)
+
+
+def test_state_pdf_fast_path_matches_general(setup):
+    """The dest-uniform acoustic fast path must reproduce the general
+    per-arc-select path (same math, different association: ~f32 eps)."""
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    id2pdf = tm.id2pdf_array()
+    words = [[lp.word2id["YES"], lp.word2id["NO"]], [lp.word2id["NO"]]]
+    lens_l = [18, 11]
+    packed = [
+        pack_graph(aligned_graph(gc, tm, w), id2pdf) for w in words
+    ]
+    feats = np.zeros((2, max(lens_l), 6), dtype=np.float32)
+    for i, t in enumerate(lens_l):
+        feats[i, :t] = rng.standard_normal((t, 6)).astype(np.float32)
+    ll = loglikes_np(am.pack(), feats)
+    graphs = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+    lens = np.array(lens_l, np.int32)
+    num_tids = tm.num_transition_ids
+    sp = uniform_dest_pdf(graphs)
+    assert sp is not None
+    a = forward_backward_batch(graphs, ll, lens, num_tids, acoustic_scale=0.7)
+    b = forward_backward_batch(
+        graphs, ll, lens, num_tids, acoustic_scale=0.7, state_pdf=sp
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.log_z), np.asarray(a.log_z), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.gamma), np.asarray(a.gamma), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.tid_counts), np.asarray(a.tid_counts), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(b.failed), np.asarray(a.failed))
