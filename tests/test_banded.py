@@ -161,3 +161,51 @@ def test_pipeline_banded_backend_matches_xla():
         np.testing.assert_allclose(
             ab.get_acc(p).occupancy, ax.get_acc(p).occupancy, rtol=1e-6
         )
+
+
+def test_banded_triphone_graphs():
+    """Triphone (context-dependent) training graphs also fit a band and
+    the kernel matches the XLA path there (interpret mode)."""
+    from khg_tpu.align.packed import pack_graph, pack_graph_batch
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
+    from khg_tpu.graph.h_builder import add_transition_probs
+    from tests.test_align import random_am
+    from tests.test_triphone import build_compiler, build_triphone_system
+
+    topo, tree, tm = build_triphone_system()
+    lp, gc = build_compiler(tm, tree)
+    rng = np.random.default_rng(7)
+    am = random_am(tree.num_pdfs, 6, rng)
+    id2pdf = tm.id2pdf_array()
+
+    words = [[lp.word2id["A"]], [lp.word2id["C"], lp.word2id["A"]]]
+    lens = [10, 16]
+    packed = []
+    for w in words:
+        g = gc.compile_graph_from_text(w).copy()
+        add_transition_probs(tm, g, 1.0, 0.1)
+        packed.append(pack_graph(g, id2pdf))
+    arrays = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+
+    feats = np.zeros((2, max(lens), 6), dtype=np.float32)
+    for i, t in enumerate(lens):
+        feats[i, :t] = rng.standard_normal((t, 6)).astype(np.float32)
+    ll = loglikes_np(am.pack(), feats)
+    nf = np.array(lens, np.int32)
+
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    assert sp is not None, "triphone H graphs keep dest-uniform pdfs"
+    out = pack_banded(ren, sp)
+    assert out is not None, "triphone graphs must fit a band menu"
+    banded, offsets = out
+
+    res_b = viterbi_align_banded(
+        banded, offsets, ll, nf, id2pdf, acoustic_scale=0.5,
+        block_b=2, time_chunk=8, lane=8, interpret=True,
+    )
+    res_x = viterbi_align_batch(arrays, ll, nf, id2pdf, acoustic_scale=0.5)
+    np.testing.assert_array_equal(
+        np.asarray(res_b.total_cost), np.asarray(res_x.total_cost)
+    )
+    np.testing.assert_array_equal(np.asarray(res_b.tids), np.asarray(res_x.tids))
