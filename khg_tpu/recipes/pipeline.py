@@ -117,12 +117,13 @@ class EStepPipeline:
             compute_dtype=dtype,
         )
 
-    def _try_pack_banded(self, graphs, frames):
+    def _try_pack_banded(self, graphs, frames, fb: bool = False):
         """Banded tables for this batch, or None to use the XLA path."""
         import jax
 
         from khg_tpu.align.banded import band_renumber, pack_banded
         from khg_tpu.align.pallas_banded import banded_vmem_bytes
+        from khg_tpu.align.pallas_banded_fb import banded_fb_vmem_bytes
 
         ren, _ = band_renumber(graphs)
         sp = uniform_dest_pdf(ren)
@@ -133,11 +134,12 @@ class EStepPipeline:
             return None
         banded, offsets = out
         B, DK, S = banded.plane_cost.shape
-        if DK >= 128:  # int8 backpointer limit
+        if not fb and DK >= 128:  # int8 backpointer limit (Viterbi only)
             return None
         P = int(self.id2pdf.max()) + 1  # pdf one-hot width = num loglike cols
+        vmem = banded_fb_vmem_bytes if fb else banded_vmem_bytes
         block_b = min(32, B)
-        while block_b > 1 and banded_vmem_bytes(
+        while block_b > 1 and vmem(
             B, DK, S, frames, P, block_b=block_b
         ) > 12 * 2**20:
             block_b //= 2
@@ -306,14 +308,28 @@ class EStepPipeline:
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
             )
-            from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
-
-            ll = self._loglikes(model, bfeats)
-            fb = forward_backward_batch(
-                graphs, ll, lens, self.tm.num_transition_ids,
-                acoustic_scale=self.acoustic_scale,
-                state_pdf=uniform_dest_pdf(graphs),
+            banded_args = (
+                self._try_pack_banded(graphs, bt, fb=True)
+                if self.align_backend == "banded" else None
             )
+            ll = self._loglikes(model, bfeats)
+            if banded_args:
+                from khg_tpu.align.pallas_banded_fb import (
+                    forward_backward_banded,
+                )
+
+                banded, offsets, block_b, interpret = banded_args
+                fb = forward_backward_banded(
+                    banded, offsets, ll, lens, self.tm.num_transition_ids,
+                    acoustic_scale=self.acoustic_scale,
+                    block_b=block_b, interpret=interpret,
+                )
+            else:
+                fb = forward_backward_batch(
+                    graphs, ll, lens, self.tm.num_transition_ids,
+                    acoustic_scale=self.acoustic_scale,
+                    state_pdf=uniform_dest_pdf(graphs),
+                )
             failed = np.asarray(fb.failed)
             gamma = np.array(fb.gamma)  # copy: zero out failed utterances
             gamma[failed] = 0.0

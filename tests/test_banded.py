@@ -209,3 +209,46 @@ def test_banded_triphone_graphs():
         np.asarray(res_b.total_cost), np.asarray(res_x.total_cost)
     )
     np.testing.assert_array_equal(np.asarray(res_b.tids), np.asarray(res_x.tids))
+
+
+def test_banded_forward_backward_interpret(setup):  # noqa: F811
+    """Banded fused Baum-Welch (interpret mode) vs the XLA FB path."""
+    from khg_tpu.align.forward_backward import forward_backward_batch
+    from khg_tpu.align.pallas_banded_fb import forward_backward_banded
+
+    lp = setup[0]
+    tm = setup[3]
+    words = [
+        [lp.word2id["YES"]],
+        [lp.word2id["NO"], lp.word2id["YES"]],
+        [lp.word2id["NO"]],
+    ]
+    lens = [14, 26, 9]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    banded, offsets = pack_banded(ren, sp)
+    num_tids = tm.num_transition_ids
+
+    # XLA reference on the ORIGINAL arrays: gamma/log_z/tid_counts are
+    # invariant to state renumbering (band_renumber leaves the outgoing
+    # tables untouched, so the XLA FB must see the original numbering)
+    a = forward_backward_batch(
+        arrays, ll, nf, num_tids, acoustic_scale=0.5,
+        state_pdf=uniform_dest_pdf(arrays),
+    )
+    b = forward_backward_banded(
+        banded, offsets, ll, nf, num_tids, acoustic_scale=0.5,
+        block_b=2, time_chunk=8, lane=8, interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(b.log_z), np.asarray(a.log_z), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.gamma), np.asarray(a.gamma), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.tid_counts), np.asarray(a.tid_counts), atol=1e-3
+    )
+    np.testing.assert_array_equal(np.asarray(b.failed), np.asarray(a.failed))

@@ -77,3 +77,46 @@ def test_soft_em_improves_loglike():
     # monotone within tolerance (EM guarantee, modulo f32 noise)
     for a, b in zip(log_zs, log_zs[1:]):
         assert b > a - 1.0, log_zs
+
+
+def test_soft_estep_banded_backend_matches_xla():
+    """accumulate_forward_backward with align_backend='banded' (fused
+    Pallas kernel, interpret on CPU) matches the XLA backend's stats."""
+    rng = np.random.default_rng(4)
+    lp, corpus = make_synthetic_corpus(num_utts=5, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=3, total_gauss=22, max_iter_inc=2,
+        realign_iters="1 2",
+    )
+    am, tm = result.am, result.transition_model
+
+    outs = {}
+    for backend in ("xla", "banded"):
+        pipeline = EStepPipeline(
+            tm, acoustic_scale=1.0, self_loop_scale=0.1,
+            align_backend=backend,
+        )
+        packed = pipeline.pack_graphs(result.graphs)
+        accs = AccumAmDiagGmm()
+        accs.init(am, flags=GMM_ALL)
+        t_accs = tm.init_stats()
+        log_z = pipeline.accumulate_forward_backward(
+            am, packed, corpus.feats, accs, t_accs
+        )
+        outs[backend] = (log_z, accs, t_accs)
+
+    lz_x, acc_x, t_x = outs["xla"]
+    lz_b, acc_b, t_b = outs["banded"]
+    assert math.isclose(lz_b, lz_x, rel_tol=1e-5)
+    # both paths accumulate in f32; differences are association noise,
+    # so compare relatively (large counts carry large absolute noise)
+    np.testing.assert_allclose(t_b, t_x, rtol=1e-3, atol=5e-3)
+    for p in range(am.num_pdfs):
+        np.testing.assert_allclose(
+            acc_b.get_acc(p).occupancy, acc_x.get_acc(p).occupancy,
+            rtol=1e-3, atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            acc_b.get_acc(p).mean_accumulator,
+            acc_x.get_acc(p).mean_accumulator, rtol=1e-3, atol=5e-2,
+        )
