@@ -113,6 +113,116 @@ def _dense_mstep(
     return new_gconsts, new_means_invvars, new_inv_vars, new_weights
 
 
+class FbEmStepResult(NamedTuple):
+    log_z: jnp.ndarray         # (B,) sharded over dp
+    occ: jnp.ndarray           # (P, K) replicated (psummed)
+    mean_acc: jnp.ndarray      # (P, K, D)
+    var_acc: jnp.ndarray       # (P, K, D)
+    tid_counts: jnp.ndarray    # (num_tids+1,) replicated (psummed)
+    tot_log_like: jnp.ndarray  # ()
+    tot_frames: jnp.ndarray    # ()
+    new_gconsts: jnp.ndarray
+    new_means_invvars: jnp.ndarray
+    new_inv_vars: jnp.ndarray
+    new_weights: jnp.ndarray
+
+
+def sharded_fb_em_step(
+    mesh: Mesh,
+    num_tids: int,
+    acoustic_scale: float = 1.0,
+    uniform_dest_pdf: bool = False,
+    banded_offsets: Optional[Tuple[int, ...]] = None,
+    banded_interpret: bool = False,
+):
+    """Build the jitted soft (Baum-Welch) EM step over the mesh.
+
+    Same plumbing as sharded_em_step, but the E-step is the
+    forward-backward pass: per-shard pdf posteriors gamma feed the soft
+    stats GEMMs, expected transition counts psum alongside the GMM
+    stats, and the dense M-step runs replicated on the reduced stats.
+    With ``banded_offsets`` the fused banded Pallas FB kernel
+    (align/pallas_banded_fb.py) runs per shard; ``graphs`` is then a
+    BandedGraphs tuple.
+
+    Returns step(model (gconsts, miv, iv, weights), graphs, feats,
+    num_frames) -> FbEmStepResult.
+    """
+    from jax import shard_map
+
+    from khg_tpu.stats.accum import accumulate_am_stats_soft
+
+    dp = P("dp")
+    rep = P()
+
+    def step(model, graphs, feats, num_frames):
+        gconsts, miv, iv, weights = model
+
+        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        if banded_offsets is not None:
+            from khg_tpu.align.pallas_banded_fb import forward_backward_banded
+
+            fb = forward_backward_banded(
+                graphs, banded_offsets, ll, num_frames, num_tids,
+                acoustic_scale=acoustic_scale,
+                block_b=min(16, graphs.plane_cost.shape[0]),
+                interpret=banded_interpret,
+            )
+        else:
+            from khg_tpu.align.forward_backward import forward_backward_batch
+
+            fb = forward_backward_batch(
+                graphs, ll, num_frames, num_tids,
+                acoustic_scale=acoustic_scale,
+                state_pdf=graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None,
+            )
+        ok = ~fb.failed
+        gamma = jnp.where(ok[:, None, None], fb.gamma, 0.0)
+        stats = accumulate_am_stats_soft(gconsts, miv, iv, feats, gamma)
+        counts = jnp.sum(
+            jnp.where(ok[:, None], fb.tid_counts, 0.0), axis=0
+        )
+
+        occ = jax.lax.psum(stats.occ, "dp")
+        mean_acc = jax.lax.psum(stats.mean_acc, "dp")
+        var_acc = jax.lax.psum(stats.var_acc, "dp")
+        tid_counts = jax.lax.psum(counts, "dp")
+        tot_ll = jax.lax.psum(stats.tot_log_like, "dp")
+        tot_frames = jax.lax.psum(stats.tot_frames, "dp")
+
+        ng, nmiv, niv, nw = _dense_mstep(
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights
+        )
+        return FbEmStepResult(
+            fb.log_z, occ, mean_acc, var_acc, tid_counts,
+            tot_ll, tot_frames, ng, nmiv, niv, nw,
+        )
+
+    from khg_tpu.align.banded import BandedGraphs
+    from khg_tpu.align.packed import BatchedGraphs
+
+    graphs_spec = (
+        BandedGraphs(*([dp] * 5))
+        if banded_offsets is not None
+        else BatchedGraphs(*([dp] * 10))
+    )
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            (rep, rep, rep, rep),
+            graphs_spec,
+            dp,
+            dp,
+        ),
+        out_specs=FbEmStepResult(
+            dp, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def sharded_em_step(
     mesh: Mesh,
     acoustic_scale: float = 1.0,

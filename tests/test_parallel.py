@@ -180,3 +180,82 @@ def test_sharded_banded_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(b.new_inv_vars), np.asarray(a.new_inv_vars)
     )
+
+
+def run_fb_step(n_devices, problem, acoustic_scale=0.5, **kw):
+    from khg_tpu.parallel.mesh import sharded_fb_em_step
+
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    mesh = make_data_mesh(n_devices, devices=jax.devices("cpu")[:n_devices])
+    step = sharded_fb_em_step(
+        mesh, tm.num_transition_ids, acoustic_scale=acoustic_scale, **kw
+    )
+    g = kw.get("banded_graphs", graphs)
+    return step(
+        (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+         jnp.asarray(pm.inv_vars), jnp.asarray(weights)),
+        jax.tree.map(jnp.asarray, g),
+        jnp.asarray(feats), jnp.asarray(lens),
+    )
+
+
+def test_sharded_fb_sharding_invariance():
+    """Soft (Baum-Welch) sharded EM: psum of shard stats == 1-device run."""
+    problem = build_sharded_problem()
+    results = [
+        run_fb_step(n, problem, uniform_dest_pdf=True) for n in (1, 2, 4)
+    ]
+    for r in results[1:]:
+        np.testing.assert_allclose(
+            np.asarray(r.occ), np.asarray(results[0].occ),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r.tid_counts), np.asarray(results[0].tid_counts),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r.log_z), np.asarray(results[0].log_z),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_sharded_fb_banded_kernel_matches_xla():
+    """The banded Pallas FB kernel drops into the sharded soft EM step
+    per shard (interpret mode on the CPU mesh)."""
+    from khg_tpu.align.banded import band_renumber, pack_banded
+    from khg_tpu.align.packed import uniform_dest_pdf
+    from khg_tpu.parallel.mesh import sharded_fb_em_step
+
+    problem = build_sharded_problem()
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    ren, _ = band_renumber(graphs)
+    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+
+    a = run_fb_step(2, problem, uniform_dest_pdf=True)
+
+    mesh = make_data_mesh(2, devices=jax.devices("cpu")[:2])
+    step = sharded_fb_em_step(
+        mesh, tm.num_transition_ids, acoustic_scale=0.5,
+        banded_offsets=offsets, banded_interpret=True,
+    )
+    b = step(
+        (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+         jnp.asarray(pm.inv_vars), jnp.asarray(weights)),
+        jax.tree.map(jnp.asarray, banded),
+        jnp.asarray(feats), jnp.asarray(lens),
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.log_z), np.asarray(a.log_z), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.occ), np.asarray(a.occ), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.tid_counts), np.asarray(a.tid_counts),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.new_inv_vars), np.asarray(a.new_inv_vars),
+        rtol=1e-4, atol=1e-4,
+    )
