@@ -243,22 +243,29 @@ def accumulate_am_stats(
     pid = pdf_ids.reshape(N)
     w = frame_weights.reshape(N)
 
-    # per-frame model rows for the aligned pdf
-    g = gconsts[pid]                  # (N, K)
-    m = means_invvars[pid]            # (N, K, D)
-    v = inv_vars[pid]                 # (N, K, D)
+    # Score ALL pdfs with one MXU GEMM, then pick the aligned pdf's row by
+    # an exact 0/1 one-hot contraction — no per-frame model-row gathers
+    # (at bench scale those stream ~650 MB of gathered rows through HBM
+    # and dominated the E-step).  Under one jit with the likelihood pass
+    # XLA CSEs the shared component_scores GEMM, so the stats' marginal
+    # cost is just the select + moment GEMMs.
+    from khg_tpu.gmm.likelihoods import component_scores
+
     hi = jax.lax.Precision.HIGHEST
-    scores = (
-        g
-        + jnp.einsum("nkd,nd->nk", m, x, preferred_element_type=jnp.float32,
-                     precision=hi)
-        - 0.5 * jnp.einsum("nkd,nd->nk", v, jnp.square(x),
-                           preferred_element_type=jnp.float32, precision=hi)
+    scores_all = component_scores(
+        gconsts, means_invvars, inv_vars, feats
+    ).reshape(N, P, K)
+    # padding components carry gconst=-inf; clamp to a finite floor so the
+    # 0-weighted terms of the one-hot contraction stay 0 (0 * -inf = NaN).
+    # exp(-1e30 - max) underflows to exactly 0, so posteriors are unchanged.
+    scores_all = jnp.maximum(scores_all, -1e30)
+    onehot = jax.nn.one_hot(pid, P, dtype=jnp.float32) * (w > 0)[:, None]
+    scores = jnp.einsum(
+        "npk,np->nk", scores_all, onehot,
+        preferred_element_type=jnp.float32, precision=hi,
     )
     log_like = jax.nn.logsumexp(scores, axis=1)       # (N,)
     post = jax.nn.softmax(scores, axis=1) * w[:, None]  # (N, K)
-
-    onehot = jax.nn.one_hot(pid, P, dtype=jnp.float32) * (w > 0)[:, None]
     # guard: padding frames may carry pdf 0; the weight factor zeroes them.
     post_masked = post
     occ = jnp.einsum("np,nk->pk", onehot, post_masked,
