@@ -26,6 +26,10 @@ from khg_tpu.est.flags import GMM_MEANS, GMM_VARIANCES, GMM_WEIGHTS, augment_gmm
 from khg_tpu.gmm.am_gmm import AmDiagGmm
 from khg_tpu.gmm.diag_gmm import DiagGmm
 
+# accumulate_am_stats: above this P*K the all-pdf score tensor (N, P, K)
+# is too large to materialize and the per-frame gather path is used.
+_SCORES_ALL_MAX_PK = 4096
+
 
 class AccumDiagGmm:
     """Per-pdf accumulator: occupancy (K,), mean (K,D), var (K,D) in f64."""
@@ -243,27 +247,45 @@ def accumulate_am_stats(
     pid = pdf_ids.reshape(N)
     w = frame_weights.reshape(N)
 
-    # Score ALL pdfs with one MXU GEMM, then pick the aligned pdf's row by
-    # an exact 0/1 one-hot contraction — no per-frame model-row gathers
-    # (at bench scale those stream ~650 MB of gathered rows through HBM
-    # and dominated the E-step).  Under one jit with the likelihood pass
-    # XLA CSEs the shared component_scores GEMM, so the stats' marginal
-    # cost is just the select + moment GEMMs.
-    from khg_tpu.gmm.likelihoods import component_scores
-
     hi = jax.lax.Precision.HIGHEST
-    scores_all = component_scores(
-        gconsts, means_invvars, inv_vars, feats
-    ).reshape(N, P, K)
-    # padding components carry gconst=-inf; clamp to a finite floor so the
-    # 0-weighted terms of the one-hot contraction stay 0 (0 * -inf = NaN).
-    # exp(-1e30 - max) underflows to exactly 0, so posteriors are unchanged.
-    scores_all = jnp.maximum(scores_all, -1e30)
     onehot = jax.nn.one_hot(pid, P, dtype=jnp.float32) * (w > 0)[:, None]
-    scores = jnp.einsum(
-        "npk,np->nk", scores_all, onehot,
-        preferred_element_type=jnp.float32, precision=hi,
-    )
+    if P * K <= _SCORES_ALL_MAX_PK:
+        # Score ALL pdfs with one MXU GEMM, then pick the aligned pdf's
+        # row by an exact 0/1 one-hot contraction — no per-frame
+        # model-row gathers (at bench scale those stream ~650 MB of
+        # gathered rows through HBM and dominated the E-step).  Under
+        # one jit with the likelihood pass XLA CSEs the shared
+        # component_scores GEMM, so the stats' marginal cost is just
+        # the select + moment GEMMs.
+        from khg_tpu.gmm.likelihoods import component_scores
+
+        scores_all = component_scores(
+            gconsts, means_invvars, inv_vars, feats
+        ).reshape(N, P, K)
+        # padding components carry gconst=-inf; clamp to a finite floor
+        # so the 0-weighted terms of the one-hot contraction stay 0
+        # (0 * -inf = NaN).  exp(-1e30 - max) underflows to exactly 0,
+        # so posteriors are unchanged.
+        scores_all = jnp.maximum(scores_all, -1e30)
+        scores = jnp.einsum(
+            "npk,np->nk", scores_all, onehot,
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+    else:
+        # Large (triphone-scale) models: the (N, P, K) score tensor no
+        # longer fits; gather the aligned pdf's rows instead (the
+        # gather moves N*K*D floats — cheaper than N*P*K here).
+        g = gconsts[pid]                  # (N, K)
+        m = means_invvars[pid]            # (N, K, D)
+        v = inv_vars[pid]                 # (N, K, D)
+        scores = (
+            g
+            + jnp.einsum("nkd,nd->nk", m, x,
+                         preferred_element_type=jnp.float32, precision=hi)
+            - 0.5 * jnp.einsum("nkd,nd->nk", v, jnp.square(x),
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+        )
     log_like = jax.nn.logsumexp(scores, axis=1)       # (N,)
     post = jax.nn.softmax(scores, axis=1) * w[:, None]  # (N, K)
     # guard: padding frames may carry pdf 0; the weight factor zeroes them.

@@ -203,3 +203,37 @@ def test_boost_silence():
         )
     # original untouched
     assert not np.allclose(boosted.get_pdf(0).weights, am.get_pdf(0).weights)
+
+
+def test_gather_path_matches_gemm_path():
+    """The large-model gather branch of accumulate_am_stats agrees with
+    the all-pdf GEMM branch (forced via the P*K gate)."""
+    import jax
+
+    import khg_tpu.stats.accum as accum_mod
+
+    rng = np.random.default_rng(9)
+    am = random_am(6, 5, rng, max_mix=3)
+    B, T = 3, 13
+    feats = rng.standard_normal((B, T, 5)).astype(np.float32)
+    pdf_seq = rng.integers(0, 6, (B, T)).astype(np.int32)
+    fw = (rng.random((B, T)) > 0.2).astype(np.float32)
+    model = am.pack()
+    args = (model.gconsts, model.means_invvars, model.inv_vars,
+            feats, pdf_seq, fw)
+
+    a = jax.tree.map(np.asarray, accumulate_am_stats(*args))
+    old = accum_mod._SCORES_ALL_MAX_PK
+    try:
+        accum_mod._SCORES_ALL_MAX_PK = 0  # force the gather branch
+        accumulate_am_stats.clear_cache()
+        b = jax.tree.map(np.asarray, accumulate_am_stats(*args))
+    finally:
+        accum_mod._SCORES_ALL_MAX_PK = old
+        accumulate_am_stats.clear_cache()
+    np.testing.assert_allclose(b.occ, a.occ, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.mean_acc, a.mean_acc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(b.var_acc, a.var_acc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        b.tot_log_like, a.tot_log_like, rtol=1e-5
+    )
