@@ -87,29 +87,38 @@ def _scc_topo_order(n: int, succs: List[List[int]]) -> List[int]:
     return order
 
 
-def band_renumber(batched: BatchedGraphs) -> Tuple[BatchedGraphs, np.ndarray]:
+def band_renumber(
+    batched: BatchedGraphs, perm: Optional[np.ndarray] = None
+) -> Tuple[BatchedGraphs, np.ndarray]:
     """Renumber each graph's states by SCC-condensation topo order.
 
     Returns (renumbered BatchedGraphs, perm) where perm[b, new] = old.
     Alignments/tids are unchanged (state ids are internal); init/final
     costs and arc tables are permuted consistently.
+
+    Pass a previously returned ``perm`` to skip the SCC computation —
+    the order depends only on the arc STRUCTURE (in_src + which cells
+    are real), which is unchanged across EM passes (only costs move),
+    so callers can cache it keyed on that structure.
     """
     in_src = np.asarray(batched.in_src)
     in_cost = np.asarray(batched.in_cost)
     B, S, M = in_src.shape
-    perm = np.zeros((B, S), dtype=np.int32)
+    if perm is None:
+        perm = np.zeros((B, S), dtype=np.int32)
+        for b in range(B):
+            succs: List[List[int]] = [[] for _ in range(S)]
+            for s in range(S):
+                for m in range(M):
+                    if in_cost[b, s, m] < FAIL_PAD_THRESHOLD:
+                        src = int(in_src[b, s, m])
+                        if src != s:
+                            succs[src].append(s)
+            perm[b] = _scc_topo_order(S, succs)
     inv = np.zeros((B, S), dtype=np.int32)
-    for b in range(B):
-        succs: List[List[int]] = [[] for _ in range(S)]
-        for s in range(S):
-            for m in range(M):
-                if in_cost[b, s, m] < FAIL_PAD_THRESHOLD:
-                    src = int(in_src[b, s, m])
-                    if src != s:
-                        succs[src].append(s)
-        order = _scc_topo_order(S, succs)
-        perm[b] = order
-        inv[b, order] = np.arange(S, dtype=np.int32)
+    np.put_along_axis(
+        inv, perm, np.broadcast_to(np.arange(S, dtype=np.int32), (B, S)), axis=1
+    )
 
     def permute_state_axis(x):  # (B, S, ...) gather new <- old
         return np.take_along_axis(

@@ -50,6 +50,68 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _hard_stats_device(
+    gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost
+):
+    """Jitted on-device stats from device-resident alignments, flattened
+    into ONE f32 vector: frame weights, pdf lookup, the stats GEMMs, and
+    the result packing all run on device, so a batch's entire stats come
+    back in a single transfer (each transfer costs a full RTT on
+    tunneled backends)."""
+    import jax
+
+    global _hard_stats_jit
+    if _hard_stats_jit is None:
+
+        def f(gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost):
+            import jax.numpy as jnp
+
+            T = bfeats.shape[1]
+            fw = (
+                (jnp.arange(T)[None, :] < lens[:, None]) & ~failed[:, None]
+            ).astype(jnp.float32)
+            s = accumulate_am_stats(gconsts, miv, iv, bfeats, id2pdf[tids], fw)
+            return jnp.concatenate(
+                [
+                    total_cost,
+                    failed.astype(jnp.float32),
+                    s.occ.ravel(),
+                    s.mean_acc.ravel(),
+                    s.var_acc.ravel(),
+                    s.tot_log_like[None],
+                    s.tot_frames[None],
+                ]
+            )
+
+        _hard_stats_jit = jax.jit(f)
+    return _hard_stats_jit(
+        gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost
+    )
+
+
+_hard_stats_jit = None
+
+
+def _unpack_stats(flat: np.ndarray, P: int, K: int, D: int):
+    """Host-side inverse of _hard_stats_device's packing."""
+    occ, rest = flat[: P * K].reshape(P, K), flat[P * K :]
+    mean_acc = rest[: P * K * D].reshape(P, K, D)
+    var_acc = rest[P * K * D : 2 * P * K * D].reshape(P, K, D)
+    tot_log_like, tot_frames = rest[2 * P * K * D :]
+    return occ, mean_acc, var_acc, float(tot_log_like), float(tot_frames)
+
+
+def _start_host_copies(arrays) -> None:
+    """Kick off async device->host copies; best-effort (the fetch in
+    drain() is correct without it, this just overlaps the transfers
+    with device compute and with each other)."""
+    for x in arrays:
+        try:
+            x.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+
 @dataclass
 class AlignmentResult:
     """Host-side alignment outcome for a batch of utterances."""
@@ -75,6 +137,7 @@ class EStepPipeline:
         mix_pad_multiple: int = 1,
         likelihood_backend: str = "xla",
         align_backend: str = "xla",
+        feature_cache_budget: int = 2 << 30,
     ):
         """``likelihood_backend``: "xla" (f32, exact — default), "xla_bf16"
         (MXU-native, ~1.3x faster scoring), "pallas" (fused logsumexp
@@ -84,7 +147,15 @@ class EStepPipeline:
         (fused Pallas offset-plane kernel, ~2x faster on TPU; falls back
         to "xla" per batch when the graphs do not fit a band menu or
         VMEM).  Both are exact; ties between equal-cost parallel arcs
-        may resolve to a different equally-optimal alignment."""
+        may resolve to a different equally-optimal alignment.
+
+        ``feature_cache_budget``: bytes of padded feature batches to keep
+        resident on the device across calls.  EM re-runs the E-step on
+        the same corpus every pass, so re-uploading features each pass
+        wastes host->device bandwidth (a full per-batch RTT each on
+        tunneled/remote backends).  Keyed on the utterance arrays'
+        identity (id + data pointer + shape): do not mutate feature
+        arrays in place between passes.  0 disables caching."""
         self.tm = transition_model
         self.acoustic_scale = acoustic_scale
         self.transition_scale = transition_scale
@@ -102,6 +173,37 @@ class EStepPipeline:
         self.likelihood_backend = likelihood_backend
         assert align_backend in ("xla", "banded")
         self.align_backend = align_backend
+        self.feature_cache_budget = feature_cache_budget
+        self._feat_cache: Dict[tuple, object] = {}
+        self._feat_cache_bytes = 0
+        self._band_perm_cache: Dict[tuple, np.ndarray] = {}
+
+    def _batch_feats(self, idx, feats):
+        """Assemble (and device-cache) one padded feature batch.
+
+        Returns (bfeats, lens, bt) where bfeats is a device array when
+        cached (upload happens once per distinct batch) or the host
+        array otherwise."""
+        bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
+        lens = np.array([feats[i].shape[0] for i in idx], dtype=np.int32)
+        key = (bt,) + tuple(
+            (id(feats[i]), feats[i].ctypes.data, feats[i].shape) for i in idx
+        )
+        cached = self._feat_cache.get(key)
+        if cached is not None:
+            return cached, lens, bt
+        bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
+        for j, i in enumerate(idx):
+            bfeats[j, : feats[i].shape[0]] = feats[i]
+        nbytes = bfeats.nbytes
+        if nbytes <= self.feature_cache_budget - self._feat_cache_bytes:
+            import jax.numpy as jnp
+
+            dev = jnp.asarray(bfeats)
+            self._feat_cache[key] = dev
+            self._feat_cache_bytes += nbytes
+            return dev, lens, bt
+        return bfeats, lens, bt
 
     def _loglikes(self, model, bfeats):
         dtype = "bfloat16" if self.likelihood_backend.endswith("bf16") else None
@@ -122,10 +224,18 @@ class EStepPipeline:
         import jax
 
         from khg_tpu.align.banded import band_renumber, pack_banded
+        from khg_tpu.align.packed import FAIL_PAD_THRESHOLD
         from khg_tpu.align.pallas_banded import banded_vmem_bytes
         from khg_tpu.align.pallas_banded_fb import banded_fb_vmem_bytes
 
-        ren, _ = band_renumber(graphs)
+        # the SCC renumbering depends only on the arc structure, which EM
+        # passes leave unchanged (only costs move) — cache it on exactly
+        # that structure (bytes keys: cheap memcmp on hit)
+        in_src = np.asarray(graphs.in_src)
+        real = np.asarray(graphs.in_cost) < FAIL_PAD_THRESHOLD
+        key = (in_src.shape, in_src.tobytes(), np.packbits(real).tobytes())
+        ren, perm = band_renumber(graphs, perm=self._band_perm_cache.get(key))
+        self._band_perm_cache[key] = perm
         sp = uniform_dest_pdf(ren)
         if sp is None:
             return None
@@ -172,6 +282,51 @@ class EStepPipeline:
             packed.append(pack_graph(gc, id2pdf))
         return packed
 
+    def pack_graphs_base(
+        self, graphs: Sequence[VectorFst]
+    ) -> List[PackedGraph]:
+        """Pack once WITHOUT transition probs; per EM pass, apply the
+        current probs with refresh_transition_costs — a vectorized
+        per-tid add on the packed arrays instead of an FST copy and a
+        per-arc Python pass per utterance per pass."""
+        id2pdf = self.tm.id2pdf_array()
+        return [pack_graph(g, id2pdf) for g in graphs]
+
+    def transition_cost_deltas(self) -> np.ndarray:
+        """(num_tids+1,) f32: -scaled log P(tid) under the CURRENT
+        transition model (index 0 = 0), as add_transition_probs applies
+        per arc (hmm-utils.cc:442-493)."""
+        from khg_tpu.graph.h_builder import _scaled_transition_log_prob
+
+        n = self.tm.num_transition_ids
+        d = np.zeros(n + 1, dtype=np.float32)
+        for tid in range(1, n + 1):
+            d[tid] = -_scaled_transition_log_prob(
+                self.tm, tid, self.transition_scale, self.self_loop_scale
+            )
+        return d
+
+    def refresh_transition_costs(
+        self, base: Sequence[PackedGraph]
+    ) -> List[PackedGraph]:
+        """Packed graphs with current transition probs applied.
+
+        Equivalent to pack_graphs on the original FSTs up to f32
+        association (the delta adds after the eps-prefix sum instead of
+        before); eps paths carry no tids, so exactly one delta applies
+        per packed arc.  Padding survives: delta[tid=0] = 0."""
+        import dataclasses
+
+        d = self.transition_cost_deltas()
+        return [
+            dataclasses.replace(
+                pg,
+                in_cost=(pg.in_cost + d[pg.in_tid]).astype(np.float32),
+                out_cost=(pg.out_cost + d[pg.out_tid]).astype(np.float32),
+            )
+            for pg in base
+        ]
+
     # -------------------------------------------------------------- e-step
 
     def align_and_accumulate(
@@ -182,10 +337,22 @@ class EStepPipeline:
         gmm_accs: Optional[AccumAmDiagGmm] = None,
         transition_accs: Optional[np.ndarray] = None,
         accumulate: bool = True,
+        max_in_flight: int = 4,
     ) -> AlignmentResult:
         """Viterbi-align all utterances; optionally accumulate GMM and
-        transition stats from the alignments (weight 1.0 per frame)."""
+        transition stats from the alignments (weight 1.0 per frame).
+
+        Batches are pipelined: up to ``max_in_flight`` batches are
+        dispatched to the device before the oldest is fetched, so host
+        packing and the (latency-heavy, ~100s of ms through a tunnel)
+        device->host transfer overlap device compute.  Each batch's
+        entire result — alignment, costs, AND the GMM stats, which are
+        reduced on device — comes back in ONE transfer."""
         assert len(packed_graphs) == len(feats)
+        import collections
+
+        import jax
+
         model = am.pack(mix_pad_to=self.mix_pad)
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
@@ -194,16 +361,10 @@ class EStepPipeline:
         num_done = 0
         num_error = 0
         frame_count = 0
+        do_gmm = accumulate and gmm_accs is not None
 
-        for lo in range(0, n, self.batch_size):
-            idx = order[lo : lo + self.batch_size]
-            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
-            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
-            lens = np.zeros(len(idx), dtype=np.int32)
-            for j, i in enumerate(idx):
-                t = feats[i].shape[0]
-                bfeats[j, :t] = feats[i]
-                lens[j] = t
+        def dispatch(idx):
+            bfeats, lens, bt = self._batch_feats(idx, feats)
             graphs = pack_graph_batch(
                 [packed_graphs[i] for i in idx],
                 states_pad_to=self.states_pad,
@@ -214,33 +375,49 @@ class EStepPipeline:
                 if self.align_backend == "banded" else None
             )
             state_pdf = None if banded_args else uniform_dest_pdf(graphs)
-            with self.counters.phase("align", frames=int(lens.sum())):
-                ll = self._loglikes(model, bfeats)
-                if banded_args:
-                    from khg_tpu.align.pallas_banded import viterbi_align_banded
+            ll = self._loglikes(model, bfeats)
+            if banded_args:
+                from khg_tpu.align.pallas_banded import viterbi_align_banded
 
-                    banded, offsets, block_b, interpret = banded_args
-                    res = viterbi_align_banded(
-                        banded, offsets, ll, lens, self.id2pdf,
-                        acoustic_scale=self.acoustic_scale,
-                        block_b=block_b, interpret=interpret,
-                    )
-                else:
-                    res = viterbi_align_batch(
-                        graphs, ll, lens, self.id2pdf,
-                        acoustic_scale=self.acoustic_scale,
-                        state_pdf=state_pdf,
-                    )
-                # fetch inside the phase: device completion is only
-                # observable through a value transfer on some backends
-                tids = np.asarray(res.tids)
-                total_cost = np.asarray(res.total_cost)
-                acoustic_cost = np.asarray(res.acoustic_cost)
-                failed = np.asarray(res.failed)
+                banded, offsets, block_b, interpret = banded_args
+                res = viterbi_align_banded(
+                    banded, offsets, ll, lens, self.id2pdf,
+                    acoustic_scale=self.acoustic_scale,
+                    block_b=block_b, interpret=interpret,
+                )
+            else:
+                res = viterbi_align_batch(
+                    graphs, ll, lens, self.id2pdf,
+                    acoustic_scale=self.acoustic_scale,
+                    state_pdf=state_pdf,
+                )
+            if do_gmm:
+                # everything but the tids rides in ONE packed f32 buffer
+                flat = _hard_stats_device(
+                    model.gconsts, model.means_invvars, model.inv_vars,
+                    bfeats, res.tids, lens, res.failed, self.id2pdf,
+                    res.total_cost,
+                )
+                out = [res.tids, flat]
+            else:
+                out = [res.tids, res.total_cost, res.failed]
+            _start_host_copies(out)
+            return idx, lens, out
 
-            frame_weights = (
-                (np.arange(bt)[None, :] < lens[:, None]) & ~failed[:, None]
-            ).astype(np.float32)
+        P, K = model.gconsts.shape
+        D = model.means_invvars.shape[-1]
+
+        def drain(job):
+            nonlocal tot_like, num_done, num_error, frame_count, transition_accs
+            idx, lens, out = job
+            fetched = jax.device_get(out)
+            tids = fetched[0]
+            if do_gmm:
+                flat = fetched[1]
+                B = len(idx)
+                total_cost, failed = flat[:B], flat[B : 2 * B] > 0.5
+            else:
+                total_cost, failed = fetched[1], fetched[2]
             for j, i in enumerate(idx):
                 if failed[j]:
                     num_error += 1
@@ -253,25 +430,26 @@ class EStepPipeline:
                 tot_like += -float(total_cost[j]) / self.acoustic_scale
                 num_done += 1
                 frame_count += t
-
-            if accumulate and gmm_accs is not None:
-                pdf_ids = self.id2pdf[tids]
-                stats = accumulate_am_stats(
-                    model.gconsts, model.means_invvars, model.inv_vars,
-                    bfeats, pdf_ids, frame_weights,
+            if do_gmm:
+                occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
+                    flat[2 * len(idx):], P, K, D
                 )
-                gmm_accs.add_dense(
-                    np.asarray(stats.occ),
-                    np.asarray(stats.mean_acc),
-                    np.asarray(stats.var_acc),
-                    float(stats.tot_log_like),
-                    float(stats.tot_frames),
-                )
+                gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
             if accumulate and transition_accs is not None:
                 ok = ~failed
                 transition_accs += accumulate_transition_stats(
                     tids[ok], lens[ok], self.tm.num_transition_ids
                 )
+
+        total_frames = sum(f.shape[0] for f in feats)
+        pending = collections.deque()
+        with self.counters.phase("align", frames=total_frames):
+            for lo in range(0, n, self.batch_size):
+                pending.append(dispatch(order[lo : lo + self.batch_size]))
+                if len(pending) >= max_in_flight:
+                    drain(pending.popleft())
+            while pending:
+                drain(pending.popleft())
         return AlignmentResult(alignments, tot_like, num_done, num_error, frame_count)
 
     def accumulate_forward_backward(
@@ -296,13 +474,7 @@ class EStepPipeline:
         total_log_z = 0.0
         for lo in range(0, n, self.batch_size):
             idx = order[lo : lo + self.batch_size]
-            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
-            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
-            lens = np.zeros(len(idx), dtype=np.int32)
-            for j, i in enumerate(idx):
-                t = feats[i].shape[0]
-                bfeats[j, :t] = feats[i]
-                lens[j] = t
+            bfeats, lens, bt = self._batch_feats(idx, feats)
             graphs = pack_graph_batch(
                 [packed_graphs[i] for i in idx],
                 states_pad_to=self.states_pad,
@@ -369,16 +541,12 @@ class EStepPipeline:
         tot = 0.0
         for lo in range(0, n, self.batch_size):
             idx = order[lo : lo + self.batch_size]
-            bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
-            bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
+            bfeats, lens, bt = self._batch_feats(idx, feats)
             btids = np.zeros((len(idx), bt), dtype=np.int32)
-            lens = np.zeros(len(idx), dtype=np.int32)
             for j, i in enumerate(idx):
                 t = feats[i].shape[0]
                 assert len(alignments[i]) == t
-                bfeats[j, :t] = feats[i]
                 btids[j, :t] = alignments[i]
-                lens[j] = t
             frame_weights = (np.arange(bt)[None, :] < lens[:, None]).astype(
                 np.float32
             )

@@ -234,12 +234,13 @@ def train_yesno(
         )
 
     realign_set = set(realign_iters.split())
+    packed_base = pipeline.pack_graphs_base(graphs)
     for it in range(start_iter, num_iters):
         if str(it) in realign_set:
             boosted = gmm_boost_silence(
                 am, tm, [lp.get_sil_phone_id()], boost=boost
             )
-            packed = pipeline.pack_graphs(graphs)
+            packed = pipeline.refresh_transition_costs(packed_base)
             res = pipeline.align_and_accumulate(
                 boosted, packed, corpus.feats, accumulate=False
             )

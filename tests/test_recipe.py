@@ -71,3 +71,31 @@ def test_transitions_learned(trained):
         if tm.self_loop_of(ts) != 0
     ]
     assert any(abs(p - 0.75) > 0.02 for p in probs)
+
+
+def test_refresh_transition_costs_matches_pack_graphs():
+    """The vectorized per-tid cost refresh equals repacking the FSTs with
+    add_transition_probs (up to f32 association)."""
+    import numpy as np
+
+    from khg_tpu.recipes.pipeline import EStepPipeline
+    from tests.test_graph_compiler import build_yesno_like
+
+    lp, topo, tree, tm, gc = build_yesno_like()
+    graphs = []
+    for i in range(4):
+        words = [lp.word2id["YES" if (i + j) % 2 else "NO"]
+                 for j in range(1 + i % 3)]
+        graphs.append(gc.compile_graph_from_text(words))
+    pipe = EStepPipeline(tm, transition_scale=1.0, self_loop_scale=0.1)
+    slow = pipe.pack_graphs(graphs)
+    fast = pipe.refresh_transition_costs(pipe.pack_graphs_base(graphs))
+    for a, b in zip(slow, fast):
+        np.testing.assert_array_equal(a.in_src, b.in_src)
+        np.testing.assert_array_equal(a.in_tid, b.in_tid)
+        np.testing.assert_array_equal(a.in_pdf, b.in_pdf)
+        np.testing.assert_allclose(a.in_cost, b.in_cost, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(a.out_cost, b.out_cost, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(a.out_tid, b.out_tid)
+        np.testing.assert_allclose(a.init_cost, b.init_cost, rtol=0, atol=0)
+        np.testing.assert_allclose(a.final_cost, b.final_cost, rtol=0, atol=0)
