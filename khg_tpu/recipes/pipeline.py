@@ -92,6 +92,48 @@ def _hard_stats_device(
 _hard_stats_jit = None
 
 
+def _soft_stats_device(gconsts, miv, iv, bfeats, fb):
+    """Jitted device-side soft-EM reduction: mask failed utterances,
+    soft stats GEMMs, tid-count sum — packed into ONE f32 vector
+    [log_z(B), failed(B), tid_counts(num_tids+1), stats...]."""
+    import jax
+
+    global _soft_stats_jit
+    if _soft_stats_jit is None:
+
+        def f(gconsts, miv, iv, bfeats, log_z, gamma, tid_counts, failed):
+            import jax.numpy as jnp
+
+            from khg_tpu.stats.accum import accumulate_am_stats_soft
+
+            ok = ~failed
+            gamma = jnp.where(ok[:, None, None], gamma, 0.0)
+            s = accumulate_am_stats_soft(gconsts, miv, iv, bfeats, gamma)
+            counts = jnp.sum(
+                jnp.where(ok[:, None], tid_counts, 0.0), axis=0
+            )
+            return jnp.concatenate(
+                [
+                    jnp.where(ok, log_z, 0.0),
+                    failed.astype(jnp.float32),
+                    counts,
+                    s.occ.ravel(),
+                    s.mean_acc.ravel(),
+                    s.var_acc.ravel(),
+                    s.tot_log_like[None],
+                    s.tot_frames[None],
+                ]
+            )
+
+        _soft_stats_jit = jax.jit(f)
+    return _soft_stats_jit(
+        gconsts, miv, iv, bfeats, fb.log_z, fb.gamma, fb.tid_counts, fb.failed
+    )
+
+
+_soft_stats_jit = None
+
+
 def _unpack_stats(flat: np.ndarray, P: int, K: int, D: int):
     """Host-side inverse of _hard_stats_device's packing."""
     occ, rest = flat[: P * K].reshape(P, K), flat[P * K :]
@@ -465,15 +507,21 @@ class EStepPipeline:
         Returns the total data log-likelihood (sum of per-utterance log Z).
         """
         from khg_tpu.align.forward_backward import forward_backward_batch
-        from khg_tpu.stats.accum import accumulate_am_stats_soft
 
         assert len(packed_graphs) == len(feats)
+        import collections
+
+        import jax
+
         model = am.pack(mix_pad_to=self.mix_pad)
+        P, K = model.gconsts.shape
+        D = model.means_invvars.shape[-1]
+        num_tids = self.tm.num_transition_ids
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
         total_log_z = 0.0
-        for lo in range(0, n, self.batch_size):
-            idx = order[lo : lo + self.batch_size]
+
+        def dispatch(idx):
             bfeats, lens, bt = self._batch_feats(idx, feats)
             graphs = pack_graph_batch(
                 [packed_graphs[i] for i in idx],
@@ -492,35 +540,43 @@ class EStepPipeline:
 
                 banded, offsets, block_b, interpret = banded_args
                 fb = forward_backward_banded(
-                    banded, offsets, ll, lens, self.tm.num_transition_ids,
+                    banded, offsets, ll, lens, num_tids,
                     acoustic_scale=self.acoustic_scale,
                     block_b=block_b, interpret=interpret,
                 )
             else:
                 fb = forward_backward_batch(
-                    graphs, ll, lens, self.tm.num_transition_ids,
+                    graphs, ll, lens, num_tids,
                     acoustic_scale=self.acoustic_scale,
                     state_pdf=uniform_dest_pdf(graphs),
                 )
-            failed = np.asarray(fb.failed)
-            gamma = np.array(fb.gamma)  # copy: zero out failed utterances
-            gamma[failed] = 0.0
-            total_log_z += float(np.sum(np.asarray(fb.log_z)[~failed]))
-            stats = accumulate_am_stats_soft(
+            flat = _soft_stats_device(
                 model.gconsts, model.means_invvars, model.inv_vars,
-                bfeats, gamma,
+                bfeats, fb,
             )
-            gmm_accs.add_dense(
-                np.asarray(stats.occ),
-                np.asarray(stats.mean_acc),
-                np.asarray(stats.var_acc),
-                float(stats.tot_log_like),
-                float(stats.tot_frames),
+            _start_host_copies([flat])
+            return len(idx), flat
+
+        def drain(job):
+            nonlocal total_log_z, transition_accs
+            B, flat = job
+            flat = jax.device_get(flat)
+            total_log_z += float(flat[:B].sum())  # failed already zeroed
+            counts = flat[2 * B : 2 * B + num_tids + 1]
+            occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
+                flat[2 * B + num_tids + 1:], P, K, D
             )
+            gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
             if transition_accs is not None:
-                counts = np.array(fb.tid_counts)
-                counts[failed] = 0.0
-                transition_accs += counts.sum(axis=0)
+                transition_accs += counts
+
+        pending = collections.deque()
+        for lo in range(0, n, self.batch_size):
+            pending.append(dispatch(order[lo : lo + self.batch_size]))
+            if len(pending) >= 4:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
         return total_log_z
 
     def accumulate_from_alignments(
@@ -534,37 +590,57 @@ class EStepPipeline:
         """Stats from FIXED alignments (equal-align init / re-accumulation).
 
         Returns the total log-like.  Device path of gmm_acc_stats_ali.
-        """
+        Batches are pipelined with one packed fetch each (see
+        align_and_accumulate); transition stats come straight from the
+        host-side alignments (no device round-trip)."""
+        import collections
+
+        import jax
+        import jax.numpy as jnp
+
         model = am.pack(mix_pad_to=self.mix_pad)
+        P, K = model.gconsts.shape
+        D = model.means_invvars.shape[-1]
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
         tot = 0.0
-        for lo in range(0, n, self.batch_size):
-            idx = order[lo : lo + self.batch_size]
+
+        def dispatch(idx):
+            nonlocal transition_accs
             bfeats, lens, bt = self._batch_feats(idx, feats)
             btids = np.zeros((len(idx), bt), dtype=np.int32)
             for j, i in enumerate(idx):
                 t = feats[i].shape[0]
                 assert len(alignments[i]) == t
                 btids[j, :t] = alignments[i]
-            frame_weights = (np.arange(bt)[None, :] < lens[:, None]).astype(
-                np.float32
-            )
-            pdf_ids = self.id2pdf[btids]
-            stats = accumulate_am_stats(
-                model.gconsts, model.means_invvars, model.inv_vars,
-                bfeats, pdf_ids, frame_weights,
-            )
-            tot += float(stats.tot_log_like)
-            gmm_accs.add_dense(
-                np.asarray(stats.occ),
-                np.asarray(stats.mean_acc),
-                np.asarray(stats.var_acc),
-                float(stats.tot_log_like),
-                float(stats.tot_frames),
-            )
             if transition_accs is not None:
                 transition_accs += accumulate_transition_stats(
                     btids, lens, self.tm.num_transition_ids
                 )
+            B = len(idx)
+            flat = _hard_stats_device(
+                model.gconsts, model.means_invvars, model.inv_vars,
+                bfeats, btids, jnp.asarray(lens),
+                jnp.zeros(B, dtype=bool), self.id2pdf,
+                jnp.zeros(B, dtype=jnp.float32),
+            )
+            _start_host_copies([flat])
+            return B, flat
+
+        def drain(job):
+            nonlocal tot
+            B, flat = job
+            occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
+                jax.device_get(flat)[2 * B:], P, K, D
+            )
+            tot += tot_ll
+            gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
+
+        pending = collections.deque()
+        for lo in range(0, n, self.batch_size):
+            pending.append(dispatch(order[lo : lo + self.batch_size]))
+            if len(pending) >= 4:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
         return tot
