@@ -233,7 +233,7 @@ class EStepPipeline:
         )
         cached = self._feat_cache.get(key)
         if cached is not None:
-            return cached, lens, bt
+            return cached[0], lens, bt
         bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
         for j, i in enumerate(idx):
             bfeats[j, : feats[i].shape[0]] = feats[i]
@@ -242,7 +242,11 @@ class EStepPipeline:
             import jax.numpy as jnp
 
             dev = jnp.asarray(bfeats)
-            self._feat_cache[key] = dev
+            # keep references to the source arrays: the key uses id() +
+            # data pointer, which the allocator may REUSE once an array
+            # is garbage-collected — pinning them makes stale hits
+            # impossible
+            self._feat_cache[key] = (dev, [feats[i] for i in idx])
             self._feat_cache_bytes += nbytes
             return dev, lens, bt
         return bfeats, lens, bt
