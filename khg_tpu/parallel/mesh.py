@@ -114,7 +114,8 @@ def _dense_mstep(
 
 
 class FbEmStepResult(NamedTuple):
-    log_z: jnp.ndarray         # (B,) sharded over dp
+    log_z: jnp.ndarray         # (B,) sharded over dp; 0 where failed
+    failed: jnp.ndarray        # (B,) bool sharded over dp
     occ: jnp.ndarray           # (P, K) replicated (psummed)
     mean_acc: jnp.ndarray      # (P, K, D)
     var_acc: jnp.ndarray       # (P, K, D)
@@ -194,8 +195,8 @@ def sharded_fb_em_step(
             occ, mean_acc, var_acc, gconsts, miv, iv, weights
         )
         return FbEmStepResult(
-            fb.log_z, occ, mean_acc, var_acc, tid_counts,
-            tot_ll, tot_frames, ng, nmiv, niv, nw,
+            jnp.where(ok, fb.log_z, 0.0), fb.failed, occ, mean_acc,
+            var_acc, tid_counts, tot_ll, tot_frames, ng, nmiv, niv, nw,
         )
 
     from khg_tpu.align.banded import BandedGraphs
@@ -216,7 +217,7 @@ def sharded_fb_em_step(
             dp,
         ),
         out_specs=FbEmStepResult(
-            dp, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep
+            dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep
         ),
         check_vma=False,
     )

@@ -215,10 +215,25 @@ class EStepPipeline:
         self.likelihood_backend = likelihood_backend
         assert align_backend in ("xla", "banded")
         self.align_backend = align_backend
+        import collections
+
         self.feature_cache_budget = feature_cache_budget
-        self._feat_cache: Dict[tuple, object] = {}
+        self._feat_cache = collections.OrderedDict()
         self._feat_cache_bytes = 0
-        self._band_perm_cache: Dict[tuple, np.ndarray] = {}
+        self._band_perm_cache = collections.OrderedDict()
+
+    def _pipelined(self, batches, dispatch, drain, max_in_flight):
+        """Run dispatch over batches with up to max_in_flight undrained,
+        so host packing, transfers, and device compute overlap."""
+        import collections
+
+        pending = collections.deque()
+        for b in batches:
+            pending.append(dispatch(b))
+            if len(pending) >= max_in_flight:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
 
     def _batch_feats(self, idx, feats):
         """Assemble (and device-cache) one padded feature batch.
@@ -228,18 +243,27 @@ class EStepPipeline:
         array otherwise."""
         bt = _round_up(max(feats[i].shape[0] for i in idx), self.frames_pad)
         lens = np.array([feats[i].shape[0] for i in idx], dtype=np.int32)
-        key = (bt,) + tuple(
-            (id(feats[i]), feats[i].ctypes.data, feats[i].shape) for i in idx
+        cacheable = self.feature_cache_budget > 0 and all(
+            isinstance(feats[i], np.ndarray) for i in idx
         )
-        cached = self._feat_cache.get(key)
-        if cached is not None:
-            return cached[0], lens, bt
+        if cacheable:
+            key = (bt,) + tuple(
+                (id(feats[i]), feats[i].ctypes.data, feats[i].shape)
+                for i in idx
+            )
+            cached = self._feat_cache.get(key)
+            if cached is not None:
+                return cached[0], lens, bt
         bfeats = np.zeros((len(idx), bt, feats[0].shape[1]), dtype=np.float32)
         for j, i in enumerate(idx):
             bfeats[j, : feats[i].shape[0]] = feats[i]
-        nbytes = bfeats.nbytes
-        if nbytes <= self.feature_cache_budget - self._feat_cache_bytes:
+        if cacheable and bfeats.nbytes <= self.feature_cache_budget:
             import jax.numpy as jnp
+
+            # evict oldest entries (insertion order) to fit the budget
+            while self._feat_cache_bytes + bfeats.nbytes > self.feature_cache_budget:
+                _, (old_dev, _) = self._feat_cache.popitem(last=False)
+                self._feat_cache_bytes -= old_dev.nbytes
 
             dev = jnp.asarray(bfeats)
             # keep references to the source arrays: the key uses id() +
@@ -247,7 +271,7 @@ class EStepPipeline:
             # is garbage-collected — pinning them makes stale hits
             # impossible
             self._feat_cache[key] = (dev, [feats[i] for i in idx])
-            self._feat_cache_bytes += nbytes
+            self._feat_cache_bytes += bfeats.nbytes
             return dev, lens, bt
         return bfeats, lens, bt
 
@@ -282,6 +306,8 @@ class EStepPipeline:
         key = (in_src.shape, in_src.tobytes(), np.packbits(real).tobytes())
         ren, perm = band_renumber(graphs, perm=self._band_perm_cache.get(key))
         self._band_perm_cache[key] = perm
+        while len(self._band_perm_cache) > 64:  # bounded (keys hold blobs)
+            self._band_perm_cache.popitem(last=False)
         sp = uniform_dest_pdf(ren)
         if sp is None:
             return None
@@ -488,14 +514,8 @@ class EStepPipeline:
                 )
 
         total_frames = sum(f.shape[0] for f in feats)
-        pending = collections.deque()
         with self.counters.phase("align", frames=total_frames):
-            for lo in range(0, n, self.batch_size):
-                pending.append(dispatch(order[lo : lo + self.batch_size]))
-                if len(pending) >= max_in_flight:
-                    drain(pending.popleft())
-            while pending:
-                drain(pending.popleft())
+            self._pipelined((order[lo : lo + self.batch_size] for lo in range(0, n, self.batch_size)), dispatch, drain, max_in_flight)
         return AlignmentResult(alignments, tot_like, num_done, num_error, frame_count)
 
     def accumulate_forward_backward(
@@ -505,6 +525,7 @@ class EStepPipeline:
         feats: Sequence[np.ndarray],
         gmm_accs: AccumAmDiagGmm,
         transition_accs: Optional[np.ndarray] = None,
+        max_in_flight: int = 4,
     ) -> float:
         """Soft E-step: Baum-Welch posteriors instead of a hard alignment.
 
@@ -574,13 +595,7 @@ class EStepPipeline:
             if transition_accs is not None:
                 transition_accs += counts
 
-        pending = collections.deque()
-        for lo in range(0, n, self.batch_size):
-            pending.append(dispatch(order[lo : lo + self.batch_size]))
-            if len(pending) >= 4:
-                drain(pending.popleft())
-        while pending:
-            drain(pending.popleft())
+        self._pipelined((order[lo : lo + self.batch_size] for lo in range(0, n, self.batch_size)), dispatch, drain, max_in_flight)
         return total_log_z
 
     def accumulate_from_alignments(
@@ -590,6 +605,7 @@ class EStepPipeline:
         alignments: Sequence[Sequence[int]],
         gmm_accs: AccumAmDiagGmm,
         transition_accs: Optional[np.ndarray] = None,
+        max_in_flight: int = 4,
     ) -> float:
         """Stats from FIXED alignments (equal-align init / re-accumulation).
 
@@ -640,11 +656,5 @@ class EStepPipeline:
             tot += tot_ll
             gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
 
-        pending = collections.deque()
-        for lo in range(0, n, self.batch_size):
-            pending.append(dispatch(order[lo : lo + self.batch_size]))
-            if len(pending) >= 4:
-                drain(pending.popleft())
-        while pending:
-            drain(pending.popleft())
+        self._pipelined((order[lo : lo + self.batch_size] for lo in range(0, n, self.batch_size)), dispatch, drain, max_in_flight)
         return tot

@@ -26,9 +26,9 @@ from khg_tpu.est.flags import GMM_MEANS, GMM_VARIANCES, GMM_WEIGHTS, augment_gmm
 from khg_tpu.gmm.am_gmm import AmDiagGmm
 from khg_tpu.gmm.diag_gmm import DiagGmm
 
-# accumulate_am_stats: above this P*K the all-pdf score tensor (N, P, K)
-# is too large to materialize and the per-frame gather path is used.
-_SCORES_ALL_MAX_PK = 4096
+# accumulate_am_stats: above this many BYTES of all-pdf score tensor
+# (N, P, K) the per-frame gather path is used instead of materializing it.
+_SCORES_ALL_MAX_BYTES = 1 << 30
 
 
 class AccumDiagGmm:
@@ -249,7 +249,7 @@ def accumulate_am_stats(
 
     hi = jax.lax.Precision.HIGHEST
     onehot = jax.nn.one_hot(pid, P, dtype=jnp.float32) * (w > 0)[:, None]
-    if P * K <= _SCORES_ALL_MAX_PK:
+    if N * P * K * 4 <= _SCORES_ALL_MAX_BYTES:
         # Score ALL pdfs with one MXU GEMM, then pick the aligned pdf's
         # row by an exact 0/1 one-hot contraction — no per-frame
         # model-row gathers (at bench scale those stream ~650 MB of

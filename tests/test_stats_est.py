@@ -223,13 +223,13 @@ def test_gather_path_matches_gemm_path():
             feats, pdf_seq, fw)
 
     a = jax.tree.map(np.asarray, accumulate_am_stats(*args))
-    old = accum_mod._SCORES_ALL_MAX_PK
+    old = accum_mod._SCORES_ALL_MAX_BYTES
     try:
-        accum_mod._SCORES_ALL_MAX_PK = 0  # force the gather branch
+        accum_mod._SCORES_ALL_MAX_BYTES = 0  # force the gather branch
         accumulate_am_stats.clear_cache()
         b = jax.tree.map(np.asarray, accumulate_am_stats(*args))
     finally:
-        accum_mod._SCORES_ALL_MAX_PK = old
+        accum_mod._SCORES_ALL_MAX_BYTES = old
         accumulate_am_stats.clear_cache()
     np.testing.assert_allclose(b.occ, a.occ, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(b.mean_acc, a.mean_acc, rtol=1e-5, atol=1e-5)
