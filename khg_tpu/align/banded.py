@@ -174,6 +174,7 @@ _BAND_MENUS: Tuple[Tuple[int, ...], ...] = (
 def pack_banded(
     batched: BatchedGraphs,
     state_pdf: np.ndarray,
+    reject_parallel: bool = False,
 ) -> Optional[Tuple[BandedGraphs, Tuple[int, ...]]]:
     """Convert (renumbered) incoming-arc tables to offset planes.
 
@@ -181,7 +182,12 @@ def pack_banded(
     min-cost one (first wins ties).  This is EXACT for Viterbi: with the
     per-state-uniform acoustic term, a costlier parallel arc can never
     be on a best path (the reference's beam decoder drops such tokens
-    the same way, faster-decoder.cc:195-236).  One plane per offset.
+    the same way, faster-decoder.cc:195-236).  It is NOT exact for the
+    sum semiring (forward-backward needs every parallel arc's mass and
+    per-arc tid attribution), so FB callers must pass
+    ``reject_parallel=True``: packing then returns None whenever any
+    (src, dst) cell holds more than one real arc, and the caller falls
+    back to the one-hot XLA path.  One plane per offset.
 
     Returns None when no band menu covers the arcs — callers then use
     the one-hot path.
@@ -219,6 +225,8 @@ def pack_banded(
     cell_sorted = cell[order]
     first = np.ones(len(cell), dtype=bool)
     first[1:] = cell_sorted[1:] != cell_sorted[:-1]
+    if reject_parallel and not first.all():
+        return None
     sel = order[first]
     plane_cost.reshape(-1)[cell[sel]] = cost[sel]
     plane_tid.reshape(-1)[cell[sel]] = tid[sel]

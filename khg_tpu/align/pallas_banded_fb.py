@@ -232,8 +232,11 @@ def forward_backward_banded(
 ) -> FBResult:
     """Banded fused Baum-Welch (see module docstring).
 
-    Inputs from align.banded.band_renumber + pack_banded; fall back to
-    align.forward_backward.forward_backward_batch otherwise.
+    Inputs from align.banded.band_renumber + pack_banded called with
+    ``reject_parallel=True`` — the sum semiring needs every parallel
+    (src, dst) arc, but a plane cell holds exactly one, so packing must
+    refuse graphs with duplicates; fall back to
+    align.forward_backward.forward_backward_batch when it does.
     """
     B, D, S0 = banded.plane_cost.shape
     T, P = loglikes.shape[1:]

@@ -279,7 +279,12 @@ def read_context_dependency(r: BinReader) -> ContextDependency:
     r.expect("ContextDependency")
     N = r.int32()
     P = r.int32()
-    r.expect("ToPdf")
+    tok = r.token()
+    if tok == "ToLength":  # back-compat: old trees carried a second map
+        read_event_map(r)  # (context-dep.cc:68-72) — read and discard
+        tok = r.token()
+    if tok != "ToPdf":
+        raise ValueError(f"Expected token 'ToPdf', got {tok!r}")
     to_pdf = read_event_map(r)
     r.expect("EndContextDependency")
     return ContextDependency(N, P, to_pdf)

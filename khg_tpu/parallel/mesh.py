@@ -49,6 +49,7 @@ class EmStepResult(NamedTuple):
     occ: jnp.ndarray           # (P, K) replicated (psummed)
     mean_acc: jnp.ndarray      # (P, K, D)
     var_acc: jnp.ndarray       # (P, K, D)
+    tid_counts: jnp.ndarray    # (num_tids+1,) replicated (psummed)
     tot_log_like: jnp.ndarray  # ()
     tot_frames: jnp.ndarray    # ()
     new_gconsts: jnp.ndarray       # (P, K)
@@ -67,24 +68,52 @@ def _dense_mstep(
     old_weights: jnp.ndarray,
     min_variance: float = 0.001,
     min_gaussian_occupancy: float = 10.0,
+    min_gaussian_weight: float = 1.0e-05,
+    remove_low_count_gaussians: bool = True,
+    variance_floor_vector=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pure-JAX closed-form MLE update on padded dense stats.
 
-    Components below the occupancy threshold keep their old parameters
-    (the dense analogue of "skip, don't remove": removal changes shapes
-    and is a host-side operation between EM passes).
+    Full MleDiagGmmOptions semantics, matching est.mle.mle_diag_gmm_update
+    (reference: mle-diag-gmm.cc:243-390) with flags=mvw on padded tensors:
+
+    - a component updates iff occ > min_gaussian_occupancy AND its weight
+      prob > min_gaussian_weight (prob = occ/occ_sum, or 1/num_real when
+      the pdf saw no data);
+    - variances floored by ``variance_floor_vector`` (a (D,) array) when
+      given, else by the scalar ``min_variance``;
+    - with ``remove_low_count_gaussians`` starved components are
+      DEACTIVATED (weight 0, inv_vars/means_invvars zeroed, gconst -inf —
+      the dense analogue of removal, which would change shapes) and the
+      surviving weights renormalized per pdf, except the last real
+      component of an all-starved pdf survives with weight
+      max(prob, min_gaussian_weight) exactly as the reference's
+      "don't remove the last one" branch;
+    - without it, starved components keep their parameters and get
+      weight max(prob, min_gaussian_weight), no renormalization.
+
+    Padding components (gconst -inf / zero inv_vars rows) never update.
     """
     P_, K, D = mean_acc.shape
-    occ_sum = jnp.sum(occ, axis=1, keepdims=True)  # per-pdf occupancy
-    active = occ > min_gaussian_occupancy
+    real = jnp.isfinite(old_gconsts)                       # (P, K)
+    num_real = jnp.sum(real, axis=1, keepdims=True)        # (P, 1)
+    occ = jnp.where(real, occ, 0.0)
+    occ_sum = jnp.sum(occ, axis=1, keepdims=True)          # (P, 1)
+    prob = jnp.where(
+        occ_sum > 0,
+        occ / jnp.maximum(occ_sum, 1e-300),
+        1.0 / jnp.maximum(num_real, 1),
+    )
+    active = real & (occ > min_gaussian_occupancy) & (prob > min_gaussian_weight)
     safe_occ = jnp.where(active, occ, 1.0)
 
-    weights = jnp.where(
-        occ_sum > 0, occ / jnp.maximum(occ_sum, 1e-10), old_weights
-    )
     means = mean_acc / safe_occ[..., None]
     variances = var_acc / safe_occ[..., None] - jnp.square(means)
-    variances = jnp.maximum(variances, min_variance)
+    if variance_floor_vector is not None:
+        floor = jnp.asarray(variance_floor_vector).reshape(1, 1, D)
+    else:
+        floor = jnp.full((1, 1, 1), min_variance)
+    variances = jnp.maximum(variances, floor)
 
     inv_vars = 1.0 / variances
     means_invvars = means * inv_vars
@@ -93,13 +122,41 @@ def _dense_mstep(
     new_means_invvars = jnp.where(
         active[..., None], means_invvars, old_means_invvars
     )
-    new_weights = jnp.where(active, weights, old_weights)
 
-    # gconsts; padding components (zero inv_vars rows) must stay -inf
+    starved = real & ~active
+    if remove_low_count_gaussians:
+        # deactivate starved comps, but keep one survivor when a pdf is
+        # fully starved: the reference removes components in index order
+        # and stops short of the last, so the LAST real index survives
+        idx = jnp.arange(K)[None, :]
+        last_real = idx == (num_real - 1)
+        all_starved = ~jnp.any(active, axis=1, keepdims=True)
+        keep_anyway = starved & last_real & all_starved
+        removed = starved & ~keep_anyway
+        surv = active | keep_anyway
+        w = jnp.where(active, prob, 0.0)
+        w = jnp.where(keep_anyway, jnp.maximum(prob, min_gaussian_weight), w)
+        # remove_components(renorm_weights=True): renormalize only in
+        # pdfs that actually removed something
+        any_removed = jnp.any(removed, axis=1, keepdims=True)
+        denom = jnp.sum(jnp.where(surv, w, 0.0), axis=1, keepdims=True)
+        w = jnp.where(
+            any_removed, w / jnp.maximum(denom, 1e-300), w
+        )
+        new_weights = jnp.where(surv, w, 0.0)
+        new_inv_vars = jnp.where(removed[..., None], 0.0, new_inv_vars)
+        new_means_invvars = jnp.where(
+            removed[..., None], 0.0, new_means_invvars
+        )
+    else:
+        w = jnp.where(active, prob, jnp.maximum(prob, min_gaussian_weight))
+        new_weights = jnp.where(real, w, 0.0)
+
+    # gconsts; padding/deactivated components (zero inv_vars rows) stay -inf
     log2pi = 1.8378770664093453
-    valid = jnp.any(new_inv_vars > 0, axis=-1)
+    valid = jnp.any(new_inv_vars > 0, axis=-1) & (new_weights > 0)
     gconsts = (
-        jnp.log(jnp.maximum(new_weights, 1e-37))
+        jnp.log(jnp.maximum(new_weights, 1e-300))
         - 0.5 * log2pi * D
         + 0.5 * jnp.sum(jnp.log(jnp.where(new_inv_vars > 0, new_inv_vars, 1.0)), axis=-1)
         - 0.5
@@ -135,6 +192,7 @@ def sharded_fb_em_step(
     uniform_dest_pdf: bool = False,
     banded_offsets: Optional[Tuple[int, ...]] = None,
     banded_interpret: bool = False,
+    mle_config=None,
 ):
     """Build the jitted soft (Baum-Welch) EM step over the mesh.
 
@@ -192,7 +250,8 @@ def sharded_fb_em_step(
         tot_frames = jax.lax.psum(stats.tot_frames, "dp")
 
         ng, nmiv, niv, nw = _dense_mstep(
-            occ, mean_acc, var_acc, gconsts, miv, iv, weights
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights,
+            **_mstep_kwargs(mle_config),
         )
         return FbEmStepResult(
             jnp.where(ok, fb.log_z, 0.0), fb.failed, occ, mean_acc,
@@ -224,12 +283,26 @@ def sharded_fb_em_step(
     return jax.jit(sharded)
 
 
+def _mstep_kwargs(mle_config) -> dict:
+    """kwargs for _dense_mstep from an est.mle.MleDiagGmmOptions (or None)."""
+    if mle_config is None:
+        return {}
+    return dict(
+        min_variance=float(mle_config.min_variance),
+        min_gaussian_occupancy=float(mle_config.min_gaussian_occupancy),
+        min_gaussian_weight=float(mle_config.min_gaussian_weight),
+        remove_low_count_gaussians=bool(mle_config.remove_low_count_gaussians),
+        variance_floor_vector=mle_config.variance_floor_vector,
+    )
+
+
 def sharded_em_step(
     mesh: Mesh,
     acoustic_scale: float = 1.0,
     uniform_dest_pdf: bool = False,
     banded_offsets: Optional[Tuple[int, ...]] = None,
     banded_interpret: bool = False,
+    mle_config=None,
 ):
     """Build the jitted full EM step over the mesh.
 
@@ -285,17 +358,29 @@ def sharded_em_step(
         stats = accumulate_am_stats(
             gconsts, miv, iv, feats, pdf_ids, frame_weights
         )
+        # transition stats on device: scatter-add of frame weights over
+        # tids (id2pdf has num_tids+1 entries; tid 0 is padding/eps and
+        # carries weight 0 only via masked frames — zero it explicitly)
+        counts = (
+            jnp.zeros(id2pdf.shape[0], jnp.float32)
+            .at[res.tids]
+            .add(frame_weights)
+            .at[0]
+            .set(0.0)
+        )
         occ = jax.lax.psum(stats.occ, "dp")
         mean_acc = jax.lax.psum(stats.mean_acc, "dp")
         var_acc = jax.lax.psum(stats.var_acc, "dp")
+        tid_counts = jax.lax.psum(counts, "dp")
         tot_ll = jax.lax.psum(stats.tot_log_like, "dp")
         tot_frames = jax.lax.psum(stats.tot_frames, "dp")
 
         ng, nmiv, niv, nw = _dense_mstep(
-            occ, mean_acc, var_acc, gconsts, miv, iv, weights
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights,
+            **_mstep_kwargs(mle_config),
         )
         return EmStepResult(
-            res.tids, res.total_cost, occ, mean_acc, var_acc,
+            res.tids, res.total_cost, occ, mean_acc, var_acc, tid_counts,
             tot_ll, tot_frames, ng, nmiv, niv, nw,
         )
 
@@ -318,7 +403,7 @@ def sharded_em_step(
             rep,                                # id2pdf
         ),
         out_specs=EmStepResult(
-            dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep
+            dp, dp, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep
         ),
         check_vma=False,
     )

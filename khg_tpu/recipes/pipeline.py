@@ -311,7 +311,10 @@ class EStepPipeline:
         sp = uniform_dest_pdf(ren)
         if sp is None:
             return None
-        out = pack_banded(ren, sp)
+        # FB needs every parallel arc's mass (sum semiring); the banded
+        # planes keep only the min-cost arc per (src, dst), so reject and
+        # fall back to the one-hot XLA FB when duplicates exist.
+        out = pack_banded(ren, sp, reject_parallel=fb)
         if out is None:
             return None
         banded, offsets = out
@@ -325,6 +328,8 @@ class EStepPipeline:
             B, DK, S, frames, P, block_b=block_b
         ) > 12 * 2**20:
             block_b //= 2
+        if vmem(B, DK, S, frames, P, block_b=block_b) > 12 * 2**20:
+            return None  # even block_b=1 would blow VMEM — use the XLA path
         interpret = jax.default_backend() == "cpu"
         return banded, offsets, block_b, interpret
 

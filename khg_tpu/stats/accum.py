@@ -16,6 +16,7 @@ combined with jax.lax.psum (see khg_tpu.parallel).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -25,6 +26,8 @@ import numpy as np
 from khg_tpu.est.flags import GMM_MEANS, GMM_VARIANCES, GMM_WEIGHTS, augment_gmm_flags
 from khg_tpu.gmm.am_gmm import AmDiagGmm
 from khg_tpu.gmm.diag_gmm import DiagGmm
+
+logger = logging.getLogger(__name__)
 
 # accumulate_am_stats: above this many BYTES of all-pdf score tensor
 # (N, P, K) the per-frame gather path is used instead of materializing it.
@@ -352,8 +355,8 @@ def accumulate_transition_stats(
 ) -> np.ndarray:
     """(num_tids+1,) float64 counts from batched alignments (host)."""
     stats = np.zeros(num_tids + 1, dtype=np.float64)
-    for b in range(tids.shape[0]):
-        n = int(num_frames[b])
-        np.add.at(stats, tids[b, :n], 1.0)
+    B, T = tids.shape
+    mask = np.arange(T)[None, :] < np.asarray(num_frames).reshape(B, 1)
+    np.add.at(stats, tids[mask], 1.0)
     stats[0] = 0.0
     return stats

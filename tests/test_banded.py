@@ -211,6 +211,62 @@ def test_banded_triphone_graphs():
     np.testing.assert_array_equal(np.asarray(res_b.tids), np.asarray(res_x.tids))
 
 
+def _parallel_arc_batch():
+    """A 3-state graph with TWO parallel arcs 0->1 (different tids): legal
+    for Viterbi min-packing, illegal for the banded FB (sum semiring)."""
+    from khg_tpu.align.packed import BIG, BatchedGraphs
+
+    S, M = 3, 3
+    in_src = np.zeros((1, S, M), np.int32)
+    in_tid = np.zeros((1, S, M), np.int32)
+    in_pdf = np.zeros((1, S, M), np.int32)
+    in_cost = np.full((1, S, M), BIG, np.float32)
+    # arcs into state 1: 0->1 tid=1 cost 0.5 ; 0->1 tid=2 cost 1.2 (parallel)
+    in_src[0, 1, :2] = [0, 0]
+    in_tid[0, 1, :2] = [1, 2]
+    in_cost[0, 1, :2] = [0.5, 1.2]
+    # arc into state 2 (final): 1->2 tid=3
+    in_src[0, 2, 0] = 1
+    in_tid[0, 2, 0] = 3
+    in_cost[0, 2, 0] = 0.3
+    out_dst = np.zeros((1, S, M), np.int32)
+    out_tid = np.zeros((1, S, M), np.int32)
+    out_pdf = np.zeros((1, S, M), np.int32)
+    out_cost = np.full((1, S, M), BIG, np.float32)
+    out_dst[0, 0, :2] = [1, 1]
+    out_tid[0, 0, :2] = [1, 2]
+    out_cost[0, 0, :2] = [0.5, 1.2]
+    out_dst[0, 1, 0] = 2
+    out_tid[0, 1, 0] = 3
+    out_cost[0, 1, 0] = 0.3
+    init = np.full((1, S), BIG, np.float32)
+    init[0, 0] = 0.0
+    final = np.full((1, S), BIG, np.float32)
+    final[0, 2] = 0.0
+    return BatchedGraphs(
+        in_src, in_tid, in_pdf, in_cost,
+        out_dst, out_tid, out_pdf, out_cost, init, final,
+    )
+
+
+def test_pack_banded_rejects_parallel_arcs_for_fb():
+    """FB (sum semiring) needs every parallel arc; the banded planes can
+    hold only one per (src, dst) cell, so reject_parallel=True must bail
+    out while the default (Viterbi) packing keeps the min-cost arc."""
+    arrays = _parallel_arc_batch()
+    sp = uniform_dest_pdf(arrays)
+    assert sp is not None
+
+    assert pack_banded(arrays, sp, reject_parallel=True) is None
+
+    out = pack_banded(arrays, sp)  # Viterbi view: min-cost arc survives
+    assert out is not None
+    banded, offsets = out
+    d1 = offsets.index(1)
+    assert float(banded.plane_cost[0, d1, 1]) == np.float32(0.5)
+    assert int(banded.plane_tid[0, d1, 1]) == 1
+
+
 def test_banded_forward_backward_interpret(setup):  # noqa: F811
     """Banded fused Baum-Welch (interpret mode) vs the XLA FB path."""
     from khg_tpu.align.forward_backward import forward_backward_batch
@@ -227,7 +283,7 @@ def test_banded_forward_backward_interpret(setup):  # noqa: F811
     graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
     ren, _ = band_renumber(arrays)
     sp = uniform_dest_pdf(ren)
-    banded, offsets = pack_banded(ren, sp)
+    banded, offsets = pack_banded(ren, sp, reject_parallel=True)
     num_tids = tm.num_transition_ids
 
     # XLA reference on the ORIGINAL arrays: gamma/log_z/tid_counts are

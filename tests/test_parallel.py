@@ -105,6 +105,120 @@ def test_dense_mstep_matches_host():
             )
 
 
+def _host_update_via_dense_stats(am, occ, mean_acc, var_acc, opts):
+    """Host MLE update of a copy of ``am`` from padded dense stats."""
+    accs = AccumAmDiagGmm()
+    am2 = am.copy()
+    accs.init(am2, flags=GMM_ALL)
+    accs.add_dense(occ, mean_acc, var_acc, 0.0, float(occ.sum()))
+    mle_am_diag_gmm_update(opts, accs, 0b111, am2)
+    return am2
+
+
+def _edge_case_problem(dim=4):
+    """3 pdfs exercising every MleDiagGmmOptions branch: pdf0 healthy,
+    pdf1 has one starved component (removal + weight renorm), pdf2 is
+    fully starved (the keep-the-last-one branch)."""
+    from khg_tpu.gmm.am_gmm import AmDiagGmm
+    from khg_tpu.gmm.diag_gmm import DiagGmm
+
+    rng = np.random.default_rng(11)
+    am = AmDiagGmm()
+    for k in (2, 3, 2):
+        g = DiagGmm(k, dim)
+        g.set_weights(rng.dirichlet(np.ones(k)).astype(np.float32))
+        g.set_invvars_and_means(
+            rng.uniform(0.5, 2.0, (k, dim)).astype(np.float32),
+            rng.standard_normal((k, dim)).astype(np.float32),
+        )
+        g.compute_gconsts()
+        am.add_pdf(g)
+    K = 3
+    occ = np.zeros((3, K))
+    occ[0, :2] = [50.0, 80.0]
+    occ[1, :3] = [40.0, 2.0, 25.0]      # comp 1 starved -> removed
+    occ[2, :2] = [1.0, 0.5]             # all starved -> keep the last
+    mean_acc = rng.standard_normal((3, K, dim)) * occ[..., None]
+    # second moment >= mean^2/occ guaranteeing mostly-positive variances,
+    # with a few entries BELOW the floor to exercise flooring
+    mu = mean_acc / np.maximum(occ[..., None], 1e-9)
+    var = rng.uniform(0.2, 2.0, (3, K, dim))
+    var[0, 0, :2] = 1e-5                # floored elements
+    var_acc = (var + mu**2) * occ[..., None]
+    return am, occ, mean_acc, var_acc
+
+
+def test_dense_mstep_edge_cases_match_host():
+    """Device M-step == host MleDiagGmmUpdate on starved components,
+    flooring (scalar and vector), and low-count removal/renorm."""
+    from khg_tpu.parallel.mesh import _dense_mstep
+
+    am, occ, mean_acc, var_acc = _edge_case_problem()
+    dim = am.dim
+    floor_vec = np.full(dim, 0.01, dtype=np.float64)
+
+    for opts in (
+        MleDiagGmmOptions(),
+        MleDiagGmmOptions(remove_low_count_gaussians=False),
+        MleDiagGmmOptions(variance_floor_vector=floor_vec),
+        MleDiagGmmOptions(min_gaussian_occupancy=30.0),
+    ):
+        am_host = _host_update_via_dense_stats(
+            am, occ, mean_acc, var_acc, opts
+        )
+        pm = am.pack(mix_pad_to=3)
+        weights = np.zeros(pm.gconsts.shape, dtype=np.float32)
+        for p in range(am.num_pdfs):
+            weights[p, : am.get_pdf(p).num_gauss] = am.get_pdf(p).weights
+        ng, nmiv, niv, nw = _dense_mstep(
+            jnp.asarray(occ, jnp.float32),
+            jnp.asarray(mean_acc, jnp.float32),
+            jnp.asarray(var_acc, jnp.float32),
+            jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+            jnp.asarray(pm.inv_vars), jnp.asarray(weights),
+            min_variance=opts.min_variance,
+            min_gaussian_occupancy=opts.min_gaussian_occupancy,
+            min_gaussian_weight=opts.min_gaussian_weight,
+            remove_low_count_gaussians=opts.remove_low_count_gaussians,
+            variance_floor_vector=opts.variance_floor_vector,
+        )
+        nw, niv, nmiv, ng = map(np.asarray, (nw, niv, nmiv, ng))
+        for p in range(am.num_pdfs):
+            g = am_host.get_pdf(p)
+            # surviving device components = weight > 0, in index order
+            surv = [k for k in range(3) if nw[p, k] > 0]
+            assert len(surv) == g.num_gauss, (p, opts)
+            np.testing.assert_allclose(
+                nw[p, surv], g.weights, rtol=2e-4, atol=1e-6,
+                err_msg=f"pdf {p} weights {opts}",
+            )
+            np.testing.assert_allclose(
+                niv[p, surv, :dim], g.inv_vars, rtol=2e-3,
+                err_msg=f"pdf {p} inv_vars {opts}",
+            )
+            np.testing.assert_allclose(
+                nmiv[p, surv, :dim], g.means_invvars, rtol=2e-3, atol=1e-3,
+                err_msg=f"pdf {p} means_invvars {opts}",
+            )
+            np.testing.assert_allclose(
+                ng[p, surv], g.gconsts, rtol=1e-4, atol=2e-3,
+                err_msg=f"pdf {p} gconsts {opts}",
+            )
+
+
+def test_sharded_em_step_tid_counts_match_host():
+    """Device tid scatter-add counts == host accumulate_transition_stats."""
+    from khg_tpu.stats.accum import accumulate_transition_stats
+
+    problem = build_sharded_problem()
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    res = run_step(2, problem)
+    host = accumulate_transition_stats(
+        np.asarray(res.tids), np.asarray(lens), tm.num_transition_ids
+    )
+    np.testing.assert_allclose(np.asarray(res.tid_counts), host, atol=1e-6)
+
+
 def test_device_em_improves_loglike():
     """Iterating the fully on-device EM step increases total log-like."""
     problem = build_sharded_problem(num_utts=8, T=60)
@@ -230,7 +344,9 @@ def test_sharded_fb_banded_kernel_matches_xla():
     problem = build_sharded_problem()
     lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
     ren, _ = band_renumber(graphs)
-    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+    banded, offsets = pack_banded(
+        ren, uniform_dest_pdf(ren), reject_parallel=True
+    )
 
     a = run_fb_step(2, problem, uniform_dest_pdf=True)
 

@@ -237,3 +237,22 @@ def test_gather_path_matches_gemm_path():
     np.testing.assert_allclose(
         b.tot_log_like, a.tot_log_like, rtol=1e-5
     )
+
+
+def test_smooth_with_accum_zero_occupancy_branch():
+    """smooth_with_accum skips (and warns on) zero-occupancy source
+    components instead of crashing (mle-diag-gmm.cc:209-226)."""
+    from khg_tpu.est.flags import GMM_ALL
+    from khg_tpu.stats.accum import AccumDiagGmm
+
+    acc = AccumDiagGmm(2, 3, GMM_ALL)
+    src = AccumDiagGmm(2, 3, GMM_ALL)
+    acc.accumulate_for_component(np.full(3, 2.0), 0, 4.0)
+    acc.accumulate_for_component(np.full(3, -1.0), 1, 3.0)
+    src.accumulate_for_component(np.full(3, 1.0), 0, 5.0)  # comp 1 empty
+
+    acc.smooth_with_accum(10.0, src)  # must not raise on comp 1
+    assert acc.occupancy[0] == 14.0
+    assert acc.occupancy[1] == 3.0  # untouched: source had no counts
+    np.testing.assert_allclose(acc.mean_accumulator[0], 8.0 + 10.0 * 1.0)
+    np.testing.assert_allclose(acc.mean_accumulator[1], -3.0)
