@@ -290,10 +290,11 @@ class TransitionModel:
     # ------------------------------------------------------------ dense export
 
     def id2pdf_array(self) -> np.ndarray:
-        """(num_tids+1,) int32; entry 0 is a filler (-1). Device-side map."""
-        arr = np.array(self.id2pdf_id, dtype=np.int32)
-        arr[0] = -1
-        return arr
+        """(num_tids+1,) int32 device-side map.  Entry 0 (tid 0 = padding)
+        is 0, matching the reference's zero-initialized id2pdf_id_[0]
+        (transition-model.cc:280); consumers mask padding by frame
+        weight/arc cost, never by pdf value."""
+        return np.array(self.id2pdf_id, dtype=np.int32)
 
     # ------------------------------------------------------------------- stats
 

@@ -127,9 +127,11 @@ def _dense_mstep(
     if remove_low_count_gaussians:
         # deactivate starved comps, but keep one survivor when a pdf is
         # fully starved: the reference removes components in index order
-        # and stops short of the last, so the LAST real index survives
-        idx = jnp.arange(K)[None, :]
-        last_real = idx == (num_real - 1)
+        # and stops short of the last, so the highest-index REAL component
+        # survives (real slots need not be contiguous once earlier passes
+        # have deactivated components)
+        rev_cum = jnp.cumsum(real[:, ::-1], axis=1)[:, ::-1]
+        last_real = real & (rev_cum == 1)
         all_starved = ~jnp.any(active, axis=1, keepdims=True)
         keep_anyway = starved & last_real & all_starved
         removed = starved & ~keep_anyway

@@ -145,5 +145,7 @@ def test_id2pdf_array():
     topo, tree, tm = build_tm()
     arr = tm.id2pdf_array()
     assert arr.shape == (tm.num_transition_ids + 1,)
-    assert arr[0] == -1
+    # entry 0 (tid 0 = padding) is 0, matching the reference's
+    # zero-initialized id2pdf_id_[0] (transition-model.cc:280)
+    assert arr[0] == 0
     assert arr[1] == tm.transition_id_to_pdf(1)

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Rebuild the reference model layer in place and regenerate the golden
+# parity fixtures under tests/golden/.  Requires the tensorflow wheel's
+# bundled Eigen (present in this image); nothing is copied out of
+# /root/reference — its sources are compiled via -I.
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+
+REF=/root/reference
+EIGEN=$(python - <<'EOF'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+EOF
+)
+OUT=/tmp/refgold
+mkdir -p "$OUT"
+
+SRCS=""
+for f in transition-model hmm-topology event-map context-dep \
+         build-tree-utils model-common diag-gmm diag-gmm-normal \
+         am-diag-gmm mle-diag-gmm mle-am-diag-gmm kaldi-math eigen \
+         clusterable-classes cluster-utils; do
+  SRCS="$SRCS $REF/kaldi-hmm-gmm/csrc/$f.cc"
+done
+
+g++ -O2 -std=c++17 \
+  -I"$REF" -Itools/refgold/include -I"$EIGEN" \
+  -include tools/refgold/include/compat/eigen_compat.h \
+  tools/refgold/gen_golden.cc $SRCS -o "$OUT/gen_golden"
+
+"$OUT/gen_golden" tests/golden/inputs/topo.txt tests/golden
+python -m json.tool tests/golden/ref_fixtures.json > /dev/null \
+  && echo "fixtures JSON valid"
+ls -la tests/golden/

@@ -1,0 +1,5 @@
+// Shim: ConvertStringToInteger lives in io-funcs.h here.
+#ifndef REFGOLD_KALDI_NATIVE_IO_CSRC_TEXT_UTILS_H_
+#define REFGOLD_KALDI_NATIVE_IO_CSRC_TEXT_UTILS_H_
+#include "kaldi_native_io/csrc/io-funcs.h"
+#endif  // REFGOLD_KALDI_NATIVE_IO_CSRC_TEXT_UTILS_H_
