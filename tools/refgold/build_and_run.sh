@@ -31,4 +31,14 @@ g++ -O2 -std=c++17 \
 "$OUT/gen_golden" tests/golden/inputs/topo.txt tests/golden
 python -m json.tool tests/golden/ref_fixtures.json > /dev/null \
   && echo "fixtures JSON valid"
+
+# alignment parity: reference FasterDecoder over khg_tpu-exported graphs
+g++ -O2 -std=c++17 \
+  -I"$REF" -Itools/refgold/include \
+  tools/refgold/align_runner.cc \
+  "$REF/kaldi-hmm-gmm/csrc/faster-decoder.cc" -o "$OUT/align_runner"
+python tools/refgold/make_align_problem.py tests/golden/align_problem.txt
+"$OUT/align_runner" tests/golden/align_problem.txt \
+  > tests/golden/align_golden.txt
+cat tests/golden/align_golden.txt
 ls -la tests/golden/
