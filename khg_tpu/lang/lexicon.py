@@ -1,183 +1,218 @@
 """Lexicon / pronunciation-probability lexicon and symbol tables.
 
-Host-side language preparation.  The phone/word symbol-id conventions
-(<eps> first, SIL second when present, disambig symbols #0..#N last for
-phones; words sorted with <eps> first and #0, <s>, </s> appended) must be
-reproduced exactly since those ids leak into training graphs and
-alignments.
-
-Reference semantics: /root/reference/scripts/prepare_lang.py:66-324.
+Host-side language preparation.  The OUTPUT contracts — phone/word
+symbol-id conventions (<eps> first, SIL hoisted second when present,
+disambig symbols #0..#N last for phones; words sorted with <eps> first
+and #0, <s>, </s> appended) and the disambiguation-marker assignment —
+must hold exactly, since those ids leak into training graphs and
+alignments (pinned by tests/test_reference_parity.py and the graph
+tests).  Contract per /root/reference/scripts/prepare_lang.py:66-324;
+the internals here are record-based (a flat pronunciation list + a
+prefix-set pass) rather than the reference's per-word dict machinery.
 """
 
 from __future__ import annotations
 
-import copy
-from collections import defaultdict
-from typing import Dict, Iterator, List, Optional, Tuple
+from collections import Counter
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Pron:
+    """One pronunciation entry, in input order."""
+
+    word: str
+    prob: str          # kept as the original text token (e.g. "1.0")
+    phones: Tuple[str, ...]
+
+    @property
+    def phones_str(self) -> str:
+        return " ".join(self.phones)
+
+
+def _parse_lines(text: str, min_fields: int) -> Iterator[List[str]]:
+    for line in text.splitlines():
+        fields = line.strip().split()
+        if not fields:
+            continue
+        assert len(fields) >= min_fields, (fields, line)
+        yield fields
+
+
+def _group_by_word(entries, word_of):
+    """Stable-group entries so each word's pronunciations are contiguous,
+    words ordered by first appearance (the iteration order contract)."""
+    order: Dict[str, int] = {}
+    for e in entries:
+        order.setdefault(word_of(e), len(order))
+    return sorted(entries, key=lambda e: order[word_of(e)])
 
 
 class Lexicon:
-    """word -> list of pronunciations (each a space-joined phone string)."""
+    """word -> pronunciations (each a space-joined phone string)."""
 
     def __init__(
         self,
         lexicon_txt: Optional[str] = None,
         word2phones: Optional[Dict[str, List[str]]] = None,
     ):
+        self._prons: List[Tuple[str, str]] = []
         if word2phones is not None:
-            self.word2phones = copy.deepcopy(word2phones)
-            return
-        word2phones = defaultdict(list)
-        with open(lexicon_txt, encoding="utf-8") as f:
-            for line in f:
-                fields = line.strip().split()
-                if not fields:
-                    continue
-                assert len(fields) >= 2, (fields, line)
-                word2phones[fields[0]].append(" ".join(fields[1:]))
-        self.word2phones = dict(word2phones)
+            for word, pron_list in word2phones.items():
+                for phones in pron_list:
+                    self._prons.append((word, phones))
+        else:
+            with open(lexicon_txt, encoding="utf-8") as f:
+                for fields in _parse_lines(f.read(), 2):
+                    self._prons.append((fields[0], " ".join(fields[1:])))
+            self._prons = _group_by_word(self._prons, lambda e: e[0])
+
+    @property
+    def word2phones(self) -> Dict[str, List[str]]:
+        out: Dict[str, List[str]] = {}
+        for word, phones in self._prons:
+            out.setdefault(word, []).append(phones)
+        return out
 
     def __iter__(self) -> Iterator[Tuple[str, str]]:
-        for word, phones_list in self.word2phones.items():
-            for phones in phones_list:
-                yield word, phones
+        return iter(self._prons)
 
     @staticmethod
     def from_lexiconp(lexiconp: "Lexiconp") -> "Lexicon":
-        word2phones = defaultdict(list)
-        for word, _, phones in lexiconp:
-            word2phones[word].append(phones)
-        return Lexicon(word2phones=dict(word2phones))
+        out = Lexicon(word2phones={})
+        out._prons = [(p.word, p.phones_str) for p in lexiconp.prons]
+        return out
 
 
 class Lexiconp:
-    """word -> list of (prob, pronunciation)."""
+    """word -> (pronunciation probability, pronunciation) entries."""
 
     def __init__(
         self,
         lexiconp_txt: Optional[str] = None,
         word2prob_phones: Optional[dict] = None,
+        prons: Optional[Sequence[Pron]] = None,
+        num_disambig: int = 0,
     ):
-        if word2prob_phones is not None:
-            self.word2prob_phones = copy.deepcopy(word2prob_phones)
-            return
-        word2prob_phones = defaultdict(list)
-        with open(lexiconp_txt, encoding="utf-8") as f:
-            for line in f:
-                fields = line.strip().split()
-                if not fields:
-                    continue
-                assert len(fields) >= 3, (fields, line)
-                word2prob_phones[fields[0]].append([fields[1], " ".join(fields[2:])])
-        self.word2prob_phones = dict(word2prob_phones)
+        self._num_disambig = num_disambig
+        if prons is not None:
+            self.prons = list(prons)
+        elif word2prob_phones is not None:
+            self.prons = [
+                Pron(word, str(prob), tuple(phones.split()))
+                for word, entries in word2prob_phones.items()
+                for prob, phones in entries
+            ]
+        else:
+            with open(lexiconp_txt, encoding="utf-8") as f:
+                self.prons = [
+                    Pron(fs[0], fs[1], tuple(fs[2:]))
+                    for fs in _parse_lines(f.read(), 3)
+                ]
+            self.prons = _group_by_word(self.prons, lambda p: p.word)
+
+    @property
+    def word2prob_phones(self) -> dict:
+        out: dict = {}
+        for p in self.prons:
+            out.setdefault(p.word, []).append([p.prob, p.phones_str])
+        return out
 
     def __iter__(self) -> Iterator[Tuple[str, str, str]]:
-        for word, prob_phones_list in self.word2prob_phones.items():
-            for prob, phones in prob_phones_list:
-                yield word, prob, phones
+        for p in self.prons:
+            yield p.word, p.prob, p.phones_str
 
     @staticmethod
     def from_lexicon(lexicon: Lexicon) -> "Lexiconp":
-        word2prob_phones = defaultdict(list)
-        for word, phones in lexicon:
-            word2prob_phones[word].append(["1.0", phones])
-        return Lexiconp(word2prob_phones=dict(word2prob_phones))
+        return Lexiconp(
+            prons=[
+                Pron(word, "1.0", tuple(phones.split()))
+                for word, phones in lexicon
+            ]
+        )
 
     # ------------------------------------------------------------- disambig
 
     def add_lex_disambig(self) -> "Lexiconp":
-        """Append #N disambiguation symbols to ambiguous/prefix prons.
+        """Return a copy with #N markers appended to ambiguous prons.
 
-        A pronunciation needs a disambig symbol if it occurs more than once
-        or is a prefix of another pronunciation.  #1 is the first symbol we
-        may use (#0 is reserved for the LM backoff).
+        A pronunciation needs a marker iff it occurs more than once OR is
+        a proper prefix of another pronunciation; repeated occurrences of
+        the same pronunciation get successive markers.  #0 is reserved
+        for the LM backoff symbol, so numbering starts at #1.
         """
-        count = defaultdict(int)
-        for _, _, phones in self:
-            count[phones] += 1
+        occurrences = Counter(p.phones for p in self.prons)
+        prefixes = {
+            p.phones[:k] for p in self.prons for k in range(1, len(p.phones))
+        }
 
-        issubseq = defaultdict(int)
-        for _, _, phones in self:
-            parts = phones.split()
-            parts.pop()
-            while parts:
-                issubseq[" ".join(parts)] = 1
-                parts.pop()
-
-        first_allowed_disambig = 1
-        max_disambig = first_allowed_disambig - 1
-        last_used = defaultdict(int)
-        out = defaultdict(list)
-        for word, prob, phones in self:
-            assert phones != ""
-            if issubseq[phones] == 0 and count[phones] == 1:
-                out[word].append([prob, phones])
+        next_marker: Dict[Tuple[str, ...], int] = {}
+        highest = 0
+        marked: List[Pron] = []
+        for p in self.prons:
+            assert p.phones, p
+            if occurrences[p.phones] == 1 and p.phones not in prefixes:
+                marked.append(p)
                 continue
-            cur = last_used[phones]
-            cur = first_allowed_disambig if cur == 0 else cur + 1
-            max_disambig = max(max_disambig, cur)
-            last_used[phones] = cur
-            out[word].append([prob, phones + f" #{cur}"])
-
-        ans = Lexiconp(word2prob_phones=dict(out))
-        ans._max_disambig = max_disambig
-        return ans
+            n = next_marker.get(p.phones, 1)
+            next_marker[p.phones] = n + 1
+            highest = max(highest, n)
+            marked.append(Pron(p.word, p.prob, p.phones + (f"#{n}",)))
+        return Lexiconp(prons=marked, num_disambig=highest)
 
     @property
     def max_disambig(self) -> int:
-        return getattr(self, "_max_disambig", 0)
+        return self._num_disambig
 
     # --------------------------------------------------------- symbol tables
 
+    def _build_tables(self) -> None:
+        # phones: <eps>, then SIL (if present), then the rest sorted, then
+        # the #0..#max+1 disambiguation symbols
+        bare = {ph for p in self.prons for ph in p.phones
+                if not ph.startswith("#")}
+        ordered = ["<eps>"]
+        if "SIL" in bare:
+            ordered.append("SIL")
+        ordered += sorted(bare - {"SIL"})
+        ordered += [f"#{i}" for i in range(self.max_disambig + 2)]
+        self._phone_table = ordered
+        # words: <eps>, sorted vocabulary, then #0 <s> </s>
+        self._word_table = (
+            ["<eps>"]
+            + sorted({p.word for p in self.prons})
+            + ["#0", "<s>", "</s>"]
+        )
+
     @property
     def phone2id(self) -> Dict[str, int]:
-        if hasattr(self, "_phone2id"):
-            return self._phone2id
-        phone_set = set()
-        for _, _, phones in self:
-            phone_set.update(phones.split())
-        kept = sorted(p for p in phone_set if p[0] != "#")
-        has_sil = "SIL" in kept
-        if has_sil:
-            kept.remove("SIL")
-        kept.insert(0, "<eps>")
-        if has_sil:
-            kept.insert(1, "SIL")
-        for i in range(self.max_disambig + 2):
-            kept.append(f"#{i}")
-        self._phone2id = {p: i for i, p in enumerate(kept)}
-        self._id2phone = {i: p for i, p in enumerate(kept)}
-        return self._phone2id
+        if not hasattr(self, "_phone_table"):
+            self._build_tables()
+        return {p: i for i, p in enumerate(self._phone_table)}
 
     @property
     def id2phone(self) -> Dict[int, str]:
-        _ = self.phone2id
-        return self._id2phone
+        if not hasattr(self, "_phone_table"):
+            self._build_tables()
+        return dict(enumerate(self._phone_table))
 
     @property
     def word2id(self) -> Dict[str, int]:
-        if hasattr(self, "_word2id"):
-            return self._word2id
-        words = sorted(self.word2prob_phones.keys())
-        words.insert(0, "<eps>")
-        words.append("#0")
-        words.append("<s>")
-        words.append("</s>")
-        self._word2id = {w: i for i, w in enumerate(words)}
-        self._id2word = {i: w for i, w in enumerate(words)}
-        return self._word2id
+        if not hasattr(self, "_word_table"):
+            self._build_tables()
+        return {w: i for i, w in enumerate(self._word_table)}
 
     @property
     def id2word(self) -> Dict[int, str]:
-        _ = self.word2id
-        return self._id2word
+        if not hasattr(self, "_word_table"):
+            self._build_tables()
+        return dict(enumerate(self._word_table))
 
     def get_non_sil_phone_ids(self, sil_phone: str = "SIL") -> List[int]:
-        skip = ("<eps>", sil_phone)
         return [
-            i
-            for p, i in self.phone2id.items()
-            if p not in skip and p[0] != "#"
+            i for p, i in self.phone2id.items()
+            if p not in ("<eps>", sil_phone) and not p.startswith("#")
         ]
 
     def get_sil_phone_id(self, sil_phone: str = "SIL") -> int:
