@@ -89,3 +89,10 @@ from khg_tpu.model.kaldi_binary import (
     save_transition_model,
     save_tree,
 )
+from khg_tpu.features import (
+    FbankConfig,
+    compute_fbank,
+    compute_fbank_batch,
+    compute_fbank_pallas,
+)
+from khg_tpu.data import read_wav, wav_info, write_wav

@@ -1,1 +1,2 @@
 from khg_tpu.features.fbank import FbankConfig, compute_fbank, compute_fbank_batch
+from khg_tpu.features.pallas_fbank import compute_fbank_pallas

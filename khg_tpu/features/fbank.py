@@ -38,8 +38,11 @@ class FbankConfig:
     remove_dc_offset: bool = True
     snip_edges: bool = False
     use_energy: bool = False
+    raw_energy: bool = True   # energy before preemphasis/windowing
+    energy_floor: float = 0.0  # absolute floor on frame energy (0 = off)
     dither: float = 0.0
     use_log_fbank: bool = True
+    use_power: bool = True    # power spectrum; False = magnitude
 
     @property
     def frame_length(self) -> int:
@@ -152,11 +155,16 @@ def _fbank_impl(
 
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    log_energy = None
+    if cfg.use_energy and cfg.raw_energy:
+        log_energy = _log_energy(frames, cfg)
     if cfg.preemph_coeff != 0.0:
         prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
         frames = frames - cfg.preemph_coeff * prev
     window = jnp.asarray(_window(cfg))
     frames = frames * window
+    if cfg.use_energy and not cfg.raw_energy:
+        log_energy = _log_energy(frames, cfg)
 
     pad = n_fft - frame_len
     if pad:
@@ -167,12 +175,25 @@ def _fbank_impl(
     re = jnp.matmul(frames, cos_m, precision=hi)
     im = jnp.matmul(frames, sin_m, precision=hi)
     power = jnp.square(re) + jnp.square(im)
+    if not cfg.use_power:
+        power = jnp.sqrt(power)
 
     mel = jnp.asarray(mel_banks(cfg))
     feats = jnp.matmul(power, mel.T, precision=hi)
     if cfg.use_log_fbank:
         feats = jnp.log(jnp.maximum(feats, 1.1754944e-38))  # FLT_MIN floor
+    if log_energy is not None:
+        feats = jnp.concatenate([log_energy[..., None], feats], axis=-1)
     return feats
+
+
+def _log_energy(frames: jnp.ndarray, cfg: FbankConfig) -> jnp.ndarray:
+    """Per-frame log energy with the Kaldi floor semantics (last axis)."""
+    e = jnp.sum(jnp.square(frames), axis=-1)
+    loge = jnp.log(jnp.maximum(e, 1.1754944e-38))
+    if cfg.energy_floor > 0.0:
+        loge = jnp.maximum(loge, math.log(cfg.energy_floor))
+    return loge
 
 
 def compute_fbank(

@@ -79,3 +79,122 @@ def test_louder_is_bigger():
     f2 = compute_fbank(wave * 10.0)
     # log energy scales by log(100)
     np.testing.assert_allclose(f2 - f1, 2 * math.log(10.0), rtol=1e-3)
+
+
+def _oracle_fbank(wave, cfg):
+    """Literal per-frame transcription of the Kaldi fbank algorithm.
+
+    Scalar/loop NumPy, structured nothing like the GEMM device path:
+    frames are extracted one by one, energy/dc/preemph/window applied
+    per frame, spectrum via np.fft.rfft.  Serves as the independent
+    oracle for the option-surface semantics (snip_edges, raw_energy,
+    energy_floor, use_power, use_energy) that lhotse parity would pin
+    if lhotse were installable here.
+    """
+    n = len(wave)
+    T = num_frames(cfg, n)
+    flen, shift, nfft = cfg.frame_length, cfg.frame_shift, cfg.fft_size
+    i = np.arange(flen)
+    a = 2 * np.pi / (flen - 1)
+    win = {
+        "povey": (0.5 - 0.5 * np.cos(a * i)) ** 0.85,
+        "hamming": 0.54 - 0.46 * np.cos(a * i),
+        "hanning": 0.5 - 0.5 * np.cos(a * i),
+        "rectangular": np.ones(flen),
+    }[cfg.window_type]
+    mel = mel_banks(cfg)
+    out = []
+    for t in range(T):
+        if cfg.snip_edges:
+            start = t * shift
+            idx = start + i
+        else:
+            idx = t * shift + shift // 2 + (i - flen // 2)
+            idx = np.where(idx < 0, -idx - 1, idx)
+            idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+        frame = wave[idx].astype(np.float64)
+        if cfg.remove_dc_offset:
+            frame = frame - frame.mean()
+        if cfg.use_energy and cfg.raw_energy:
+            loge = math.log(max(np.dot(frame, frame), 1.1754944e-38))
+        if cfg.preemph_coeff:
+            frame = np.concatenate(
+                [[frame[0] - cfg.preemph_coeff * frame[0]],
+                 frame[1:] - cfg.preemph_coeff * frame[:-1]])
+        frame = frame * win
+        if cfg.use_energy and not cfg.raw_energy:
+            loge = math.log(max(np.dot(frame, frame), 1.1754944e-38))
+        spec = np.abs(np.fft.rfft(frame, nfft)) ** 2
+        if not cfg.use_power:
+            spec = np.sqrt(spec)
+        feat = mel @ spec
+        if cfg.use_log_fbank:
+            feat = np.log(np.maximum(feat, 1.1754944e-38))
+        if cfg.use_energy:
+            if cfg.energy_floor > 0:
+                loge = max(loge, math.log(cfg.energy_floor))
+            feat = np.concatenate([[loge], feat])
+        out.append(feat)
+    return np.stack(out) if out else np.zeros((0, cfg.num_mel_bins))
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FbankConfig(),
+        FbankConfig(snip_edges=True, num_mel_bins=23),
+        FbankConfig(use_energy=True, energy_floor=1e-4),
+        FbankConfig(use_energy=True, raw_energy=False),
+        FbankConfig(use_power=False, window_type="hanning",
+                    preemph_coeff=0.0, remove_dc_offset=False),
+        FbankConfig(sample_rate=8000, num_mel_bins=40, low_freq=40.0,
+                    high_freq=-200.0),
+    ],
+    ids=["default", "snip", "energy", "win_energy", "magnitude", "8k"],
+)
+def test_fbank_matches_scalar_oracle(cfg):
+    rng = np.random.default_rng(7)
+    wave = (rng.standard_normal(int(cfg.sample_rate * 0.73)) * 5000).astype(
+        np.float32
+    )
+    got = compute_fbank(wave, cfg)
+    want = _oracle_fbank(wave, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FbankConfig(),
+        FbankConfig(sample_rate=8000, num_mel_bins=23),
+        FbankConfig(snip_edges=True),
+        FbankConfig(use_energy=True),
+    ],
+    ids=["default", "8k", "snip", "energy"],
+)
+def test_pallas_fbank_matches_xla(cfg):
+    from khg_tpu.features.pallas_fbank import compute_fbank_pallas
+
+    rng = np.random.default_rng(11)
+    waves = (rng.standard_normal((2, int(cfg.sample_rate * 1.1))) * 300).astype(
+        np.float32
+    )
+    ref = np.asarray(compute_fbank_batch(waves, cfg))
+    got = np.asarray(compute_fbank_pallas(waves, cfg, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_dither_reproducible():
+    import jax
+
+    rng = np.random.default_rng(5)
+    wave = rng.standard_normal(8000).astype(np.float32) * 100
+    cfg = FbankConfig(dither=1.0)
+    key = jax.random.PRNGKey(42)
+    f1 = compute_fbank(wave, cfg, dither_key=key)
+    f2 = compute_fbank(wave, cfg, dither_key=key)
+    f3 = compute_fbank(wave, cfg, dither_key=jax.random.PRNGKey(43))
+    np.testing.assert_array_equal(f1, f2)
+    assert np.max(np.abs(f1 - f3)) > 0
