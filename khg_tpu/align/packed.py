@@ -56,6 +56,14 @@ class PackedGraph:
     out_cost: np.ndarray
     init_cost: np.ndarray
     final_cost: np.ndarray
+    # Log-semiring views, present ONLY when the graph has parallel
+    # input-eps paths (so tropical min != log-add).  The sum-over-paths
+    # semantics of forward-backward requires these; Viterbi uses the
+    # tropical arrays above.  None means the tropical arrays are exact
+    # in both semirings.
+    in_cost_log: Optional[np.ndarray] = None
+    out_cost_log: Optional[np.ndarray] = None
+    final_cost_log: Optional[np.ndarray] = None
 
     @property
     def num_states(self) -> int:
@@ -85,14 +93,26 @@ class BatchedGraphs(NamedTuple):
     final_cost: np.ndarray
 
 
-def _eps_closure_costs(fst: VectorFst) -> List[Dict[int, float]]:
-    """closure[s] = {t: min cost over input-eps paths s->t} (includes s:0)."""
+def _log_add_cost(c1: float, c2: float) -> float:
+    """-log(exp(-c1) + exp(-c2)), stable (costs are -log probs)."""
+    lo, hi = (c1, c2) if c1 <= c2 else (c2, c1)
+    return lo - math.log1p(math.exp(lo - hi))
+
+
+def _eps_arcs(fst: VectorFst) -> List[List[Tuple[int, float]]]:
     n = fst.num_states
-    eps_arcs: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+    eps: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
     for s in range(n):
         for a in fst.arcs[s]:
             if a.ilabel == 0:
-                eps_arcs[s].append((a.nextstate, a.weight))
+                eps[s].append((a.nextstate, a.weight))
+    return eps
+
+
+def _eps_closure_costs(fst: VectorFst) -> List[Dict[int, float]]:
+    """closure[s] = {t: min cost over input-eps paths s->t} (includes s:0)."""
+    n = fst.num_states
+    eps_arcs = _eps_arcs(fst)
     closure: List[Dict[int, float]] = []
     for s in range(n):
         dist = {s: 0.0}
@@ -110,6 +130,48 @@ def _eps_closure_costs(fst: VectorFst) -> List[Dict[int, float]]:
     return closure
 
 
+def _eps_closure_costs_log(fst: VectorFst) -> Optional[List[Dict[int, float]]]:
+    """Log-semiring closure: parallel eps paths s->t log-add.
+
+    Exact for the forward-backward (sum-over-paths) semantics, where
+    the tropical closure's min is only a lower bound.  Requires the
+    input-eps subgraph to be acyclic (true for determinized training
+    graphs; an eps cycle would make the path sum a geometric series) —
+    returns None on a cycle so callers fall back to tropical.
+    """
+    n = fst.num_states
+    eps_arcs = _eps_arcs(fst)
+    # Kahn topological order of the eps subgraph
+    indeg = [0] * n
+    for s in range(n):
+        for v, _ in eps_arcs[s]:
+            indeg[v] += 1
+    order = [s for s in range(n) if indeg[s] == 0]
+    head = 0
+    while head < len(order):
+        u = order[head]
+        head += 1
+        for v, _ in eps_arcs[u]:
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                order.append(v)
+    if len(order) < n:
+        return None  # eps cycle
+    pos = {s: i for i, s in enumerate(order)}
+    closure: List[Dict[int, float]] = [dict() for _ in range(n)]
+    for s in range(n):
+        dist = {s: 0.0}
+        for u in order[pos[s]:]:
+            du = dist.get(u)
+            if du is None:
+                continue
+            for v, w in eps_arcs[u]:
+                nd = du + w
+                dist[v] = nd if v not in dist else _log_add_cost(dist[v], nd)
+        closure[s] = dist
+    return closure
+
+
 def pack_graph(
     fst: VectorFst,
     id2pdf: np.ndarray,
@@ -122,6 +184,17 @@ def pack_graph(
     n = fst.num_states
     assert fst.start != -1
     closure = _eps_closure_costs(fst)
+    # Log-semiring closure, only when some state pair has parallel eps
+    # paths (otherwise the two closures coincide and we skip the work).
+    closure_log = None
+    if any(len(fst.arcs[s]) and any(a.ilabel == 0 for a in fst.arcs[s])
+           for s in range(n)):
+        cl = _eps_closure_costs_log(fst)
+        if cl is not None and any(
+            abs(cl[s][t] - closure[s][t]) > 1e-9
+            for s in range(n) for t in cl[s]
+        ):
+            closure_log = cl
 
     # Initial mass sits ONLY at the start state: epsilon prefixes are
     # absorbed into the composite arcs below, and placing closure mass at
@@ -130,64 +203,98 @@ def pack_graph(
     init_cost = np.full(n, BIG, dtype=np.float32)
     init_cost[fst.start] = 0.0
     final_cost = np.full(n, BIG, dtype=np.float32)
+    final_cost_log = np.full(n, BIG, dtype=np.float32)
     for s in range(n):
         best = math.inf
+        blog = math.inf
+        cl_log = closure_log[s] if closure_log is not None else closure[s]
         for t, d in closure[s].items():
             if fst.final[t] != math.inf:
                 best = min(best, d + fst.final[t])
+        for t, d in cl_log.items():
+            if fst.final[t] != math.inf:
+                c = d + fst.final[t]
+                blog = c if blog == math.inf else _log_add_cost(blog, c)
         if best != math.inf:
             final_cost[s] = best
+            final_cost_log[s] = blog
 
-    # effective emitting arcs: eps prefix + emitting arc
-    incoming: List[List[Tuple[int, int, float]]] = [[] for _ in range(n)]
+    # Effective emitting arcs (eps prefix + emitting arc), deduped per
+    # (src, tid).  Parallel paths to the same (src, tid) slot combine
+    # with min in the tropical semiring (Viterbi: best path) and with
+    # log-add in the log semiring (forward-backward: sum over paths);
+    # both are tracked and the log arrays are materialized only if they
+    # differ.
+    M = min_in_degree_pad
+    has_parallel = False
+    incoming: List[List[Tuple[int, int, float, float]]] = [[] for _ in range(n)]
+    outgoing: List[List[Tuple[int, int, float, float]]] = [[] for _ in range(n)]
+    trop: List[Dict[Tuple[int, int], float]] = [dict() for _ in range(n)]
+    logc: List[Dict[Tuple[int, int], float]] = [dict() for _ in range(n)]
     for s in range(n):
+        cl_log = closure_log[s] if closure_log is not None else closure[s]
         for t, d in closure[s].items():
             for a in fst.arcs[t]:
                 if a.ilabel == 0:
                     continue
-                incoming[a.nextstate].append((s, a.ilabel, d + a.weight))
-    # dedup, keeping min cost per (src, tid).  NOTE: in the log semiring
-    # (forward-backward) parallel eps paths should strictly log-add; min is
-    # the tropical view, an approximation that is exact whenever eps paths
-    # are unique (the common case after determinization).
-    M = min_in_degree_pad
-    outgoing: List[List[Tuple[int, int, float]]] = [[] for _ in range(n)]
+                key = (s, a.ilabel)
+                c = d + a.weight
+                tv = trop[a.nextstate]
+                if key not in tv or c < tv[key]:
+                    tv[key] = c
+        for t, d in cl_log.items():
+            for a in fst.arcs[t]:
+                if a.ilabel == 0:
+                    continue
+                key = (s, a.ilabel)
+                c = d + a.weight
+                lv = logc[a.nextstate]
+                if key in lv:
+                    lv[key] = _log_add_cost(lv[key], c)
+                    has_parallel = True
+                else:
+                    lv[key] = c
     for v in range(n):
-        best: Dict[Tuple[int, int], float] = {}
-        for s, tid, c in incoming[v]:
-            key = (s, tid)
-            if key not in best or c < best[key]:
-                best[key] = c
-        incoming[v] = sorted((s, tid, c) for (s, tid), c in best.items())
+        incoming[v] = sorted(
+            (s, tid, c, logc[v][(s, tid)]) for (s, tid), c in trop[v].items()
+        )
         M = max(M, len(incoming[v]))
-        for s, tid, c in incoming[v]:
-            outgoing[s].append((v, tid, c))
+        for s, tid, c, cl in incoming[v]:
+            outgoing[s].append((v, tid, c, cl))
     Mo = max(max((len(o) for o in outgoing), default=1), 1)
+    want_log = has_parallel or closure_log is not None
 
     in_src = np.zeros((n, M), dtype=np.int32)
     in_tid = np.zeros((n, M), dtype=np.int32)
     in_pdf = np.zeros((n, M), dtype=np.int32)
     in_cost = np.full((n, M), BIG, dtype=np.float32)
+    in_cost_log = np.full((n, M), BIG, dtype=np.float32)
     for v in range(n):
-        for m, (s, tid, c) in enumerate(incoming[v]):
+        for m, (s, tid, c, cl) in enumerate(incoming[v]):
             in_src[v, m] = s
             in_tid[v, m] = tid
             in_pdf[v, m] = id2pdf[tid]
             in_cost[v, m] = c
+            in_cost_log[v, m] = cl
     out_dst = np.zeros((n, Mo), dtype=np.int32)
     out_tid = np.zeros((n, Mo), dtype=np.int32)
     out_pdf = np.zeros((n, Mo), dtype=np.int32)
     out_cost = np.full((n, Mo), BIG, dtype=np.float32)
+    out_cost_log = np.full((n, Mo), BIG, dtype=np.float32)
     for s in range(n):
-        for m, (v, tid, c) in enumerate(sorted(outgoing[s])):
+        for m, (v, tid, c, cl) in enumerate(sorted(outgoing[s])):
             out_dst[s, m] = v
             out_tid[s, m] = tid
             out_pdf[s, m] = id2pdf[tid]
             out_cost[s, m] = c
+            out_cost_log[s, m] = cl
     return PackedGraph(
         in_src, in_tid, in_pdf, in_cost,
         out_dst, out_tid, out_pdf, out_cost,
         init_cost, final_cost,
+        in_cost_log=in_cost_log if want_log else None,
+        out_cost_log=out_cost_log if want_log else None,
+        final_cost_log=final_cost_log if want_log else None,
     )
 
 
@@ -223,15 +330,27 @@ def pack_graph_batch(
     graphs: Sequence[PackedGraph],
     states_pad_to: int = 1,
     indeg_pad_to: int = 1,
+    semiring: str = "tropical",
 ) -> BatchedGraphs:
     """Stack PackedGraphs, padding states/in-degree to the batch max
     (optionally rounded up so bucketed shapes recompile rarely).
 
     Padding states are unreachable (init BIG, no real incoming arcs).
+
+    semiring="log" selects the log-add-combined cost arrays (exact for
+    forward-backward when graphs have parallel eps paths); graphs whose
+    semirings coincide have no log arrays and use the shared ones.
     """
+    if semiring not in ("tropical", "log"):
+        raise ValueError(semiring)
 
     def round_up(x, m):
         return ((x + m - 1) // m) * m
+
+    def costs_of(g: PackedGraph):
+        if semiring == "log" and g.in_cost_log is not None:
+            return g.in_cost_log, g.out_cost_log, g.final_cost_log
+        return g.in_cost, g.out_cost, g.final_cost
 
     S = round_up(max(g.num_states for g in graphs), states_pad_to)
     M = round_up(max(g.max_in_degree for g in graphs), indeg_pad_to)
@@ -249,16 +368,17 @@ def pack_graph_batch(
     final_cost = np.full((B, S), BIG, dtype=np.float32)
     for b, g in enumerate(graphs):
         s, m, mo = g.num_states, g.max_in_degree, g.max_out_degree
+        g_in, g_out, g_final = costs_of(g)
         in_src[b, :s, :m] = g.in_src
         in_tid[b, :s, :m] = g.in_tid
         in_pdf[b, :s, :m] = g.in_pdf
-        in_cost[b, :s, :m] = g.in_cost
+        in_cost[b, :s, :m] = g_in
         out_dst[b, :s, :mo] = g.out_dst
         out_tid[b, :s, :mo] = g.out_tid
         out_pdf[b, :s, :mo] = g.out_pdf
-        out_cost[b, :s, :mo] = g.out_cost
+        out_cost[b, :s, :mo] = g_out
         init_cost[b, :s] = g.init_cost
-        final_cost[b, :s] = g.final_cost
+        final_cost[b, :s] = g_final
     return BatchedGraphs(
         in_src, in_tid, in_pdf, in_cost,
         out_dst, out_tid, out_pdf, out_cost,

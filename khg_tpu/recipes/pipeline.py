@@ -395,14 +395,23 @@ class EStepPipeline:
         import dataclasses
 
         d = self.transition_cost_deltas()
-        return [
-            dataclasses.replace(
-                pg,
+        out = []
+        for pg in base:
+            repl = dict(
                 in_cost=(pg.in_cost + d[pg.in_tid]).astype(np.float32),
                 out_cost=(pg.out_cost + d[pg.out_tid]).astype(np.float32),
             )
-            for pg in base
-        ]
+            if pg.in_cost_log is not None:
+                # paths combined into one slot share the tid, so the
+                # delta commutes with the log-add: exact
+                repl["in_cost_log"] = (
+                    pg.in_cost_log + d[pg.in_tid]
+                ).astype(np.float32)
+                repl["out_cost_log"] = (
+                    pg.out_cost_log + d[pg.out_tid]
+                ).astype(np.float32)
+            out.append(dataclasses.replace(pg, **repl))
+        return out
 
     # -------------------------------------------------------------- e-step
 
@@ -557,6 +566,7 @@ class EStepPipeline:
                 [packed_graphs[i] for i in idx],
                 states_pad_to=self.states_pad,
                 indeg_pad_to=self.indeg_pad,
+                semiring="log",  # sum-over-paths: parallel eps log-add
             )
             banded_args = (
                 self._try_pack_banded(graphs, bt, fb=True)
