@@ -17,10 +17,19 @@ logger = logging.getLogger(__name__)
 def ensure_backend() -> str:
     """Initialize a usable JAX backend, falling back to auto-selection.
 
+    KHG_PLATFORM=cpu (etc.) overrides the platform list — unlike
+    JAX_PLATFORMS it wins over sitecustomize hooks that pre-set
+    jax_platforms, because it is applied via jax.config *after* import.
+
     Returns the platform name of the default device.
     """
+    import os
+
     import jax
 
+    forced = os.environ.get("KHG_PLATFORM")
+    if forced:
+        jax.config.update("jax_platforms", forced)
     try:
         return jax.devices()[0].platform
     except RuntimeError as e:
