@@ -33,7 +33,12 @@ class LatticeFasterDecoderConfig:
     max_active: int = 2**31 - 1
     min_active: int = 200
     lattice_beam: float = 10.0
-    prune_interval: int = 25  # kept for API parity; pruning here is offline
+    # every prune_interval frames, links/tokens that cannot lie within
+    # lattice_beam of the best path through the current frontier are
+    # deleted (the PruneActiveTokens analogue,
+    # lattice-faster-decoder.cc:302-546) — memory stays O(live lattice)
+    # instead of O(T * expanded arcs)
+    prune_interval: int = 25
 
 
 @dataclass
@@ -47,6 +52,9 @@ class Lattice:
 
     fst: VectorFst
     acoustic_costs: List[List[float]]
+    # (frame, graph-state) origin of each lattice state: a
+    # numbering-independent identity for comparing lattices
+    state_keys: List[Tuple[int, int]] = None
 
     def best_path(self) -> Optional[Tuple[List[int], List[int], float]]:
         """(tids, words, total_cost) of the lattice's best path."""
@@ -55,6 +63,73 @@ class Lattice:
     @property
     def num_states(self) -> int:
         return self.fst.num_states
+
+
+def _prune_active(
+    tokens: List[Dict[int, float]],
+    links: List[Tuple[int, int, int, int, int, int, float, float]],
+    t_now: int,
+    lattice_beam: float,
+) -> None:
+    """Delete links/tokens provably outside lattice_beam of the best
+    path through the frame-t_now frontier (in place).
+
+    extra(s, t) = a lower bound on how much the best complete path
+    through (s, t) will exceed the best total; a link's extra =
+    extra(dst) + (alpha(src) + cost - alpha(dst)).  Every ACTIVE
+    frontier token gets extra 0 — any of them may still become the
+    winner — exactly as the reference constructs tokens with
+    extra_cost = 0 and prunes backward from them
+    (lattice-faster-decoder.cc:302-438).  Since completions only add
+    slack, the bound is conservative: the final alpha/beta pruning
+    keeps exactly the set it would keep without this call, so the
+    incremental and offline lattices are identical (pinned by
+    tests/test_lattice.py).  Computed by backward relaxation to a
+    fixpoint (within-frame eps chains need sweeps).
+    """
+    INF_ = INF
+    frontier = tokens[t_now]
+    extra: List[Dict[int, float]] = [dict() for _ in range(t_now + 1)]
+    for s in frontier:
+        extra[t_now][s] = 0.0
+    for _ in range(1 + len(links)):
+        changed = False
+        for (t0, s0, t1, s1, _il, _ol, gc, acc) in reversed(links):
+            if t1 > t_now:
+                continue
+            e1 = extra[t1].get(s1, INF_)
+            if e1 == INF_:
+                continue
+            a0 = tokens[t0].get(s0, INF_)
+            a1 = tokens[t1].get(s1, INF_)
+            if a0 == INF_ or a1 == INF_:
+                continue
+            cand = e1 + (a0 + gc + acc - a1)
+            if cand < extra[t0].get(s0, INF_) - 1e-12:
+                extra[t0][s0] = cand
+                changed = True
+        if not changed:
+            break
+
+    def keep(link) -> bool:
+        t0, s0, t1, s1, _il, _ol, gc, acc = link
+        if t1 > t_now:
+            return True
+        e1 = extra[t1].get(s1, INF_)
+        if e1 == INF_:
+            return False
+        a0 = tokens[t0].get(s0, INF_)
+        a1 = tokens[t1].get(s1, INF_)
+        if a0 == INF_:
+            return False
+        return e1 + (a0 + gc + acc - a1) <= lattice_beam + 1e-6
+    links[:] = [ln for ln in links if keep(ln)]
+    for t in range(t_now):
+        ex = extra[t]
+        tokens[t] = {
+            s: c for s, c in tokens[t].items()
+            if ex.get(s, INF_) <= lattice_beam + 1e-6
+        }
 
 
 class LatticeFasterDecoder:
@@ -102,17 +177,31 @@ class LatticeFasterDecoder:
                         tokens[t][a.nextstate] = nc
                         queue.append(a.nextstate)
 
-        tokens[0][fst.start] = 0.0
-        eps_expand(0, cfg.beam)
-        for t in range(T):
-            if not tokens[t]:
-                return None
-            costs = np.array(list(tokens[t].values()))
+        def frame_cutoff(tok: Dict[int, float]) -> float:
+            """GetCutoff semantics (faster-decoder.cc:243-335): beam
+            cutoff, tightened to the max_active-th best when over
+            max_active, but never pruning below min_active live
+            tokens (all survive while active <= min_active)."""
+            costs = np.array(list(tok.values()))
             best = float(costs.min())
             cutoff = best + cfg.beam
             if cfg.max_active < len(costs):
                 k = cfg.max_active
                 cutoff = min(cutoff, float(np.partition(costs, k - 1)[k - 1]))
+            if cfg.min_active > 0:
+                if len(costs) <= cfg.min_active:
+                    return INF
+                k = cfg.min_active
+                cutoff = max(cutoff, float(np.partition(costs, k - 1)[k - 1]))
+            return cutoff
+
+        tokens[0][fst.start] = 0.0
+        eps_expand(0, frame_cutoff(tokens[0]))
+        max_live_links = 0
+        for t in range(T):
+            if not tokens[t]:
+                return None
+            cutoff = frame_cutoff(tokens[t])
             for s, cost in list(tokens[t].items()):
                 if cost > cutoff:
                     continue
@@ -129,8 +218,12 @@ class LatticeFasterDecoder:
                         tokens[t + 1][a.nextstate] = nc
             if not tokens[t + 1]:
                 return None
-            nbest = min(tokens[t + 1].values())
-            eps_expand(t + 1, nbest + cfg.beam)
+            eps_expand(t + 1, frame_cutoff(tokens[t + 1]))
+            max_live_links = max(max_live_links, len(links))
+            if (t + 1) % cfg.prune_interval == 0 and t + 1 < T:
+                _prune_active(tokens, links, t + 1, cfg.lattice_beam)
+        max_live_links = max(max_live_links, len(links))
+        self.last_max_live_links = max_live_links  # observability/tests
 
         # final costs
         finals = {
@@ -173,12 +266,14 @@ class LatticeFasterDecoder:
         out = VectorFst()
         acoustic_costs: List[List[float]] = []
         state_map: Dict[Tuple[int, int], int] = {}
+        state_keys: List[Tuple[int, int]] = []
 
         def get_state(t: int, s: int) -> int:
             key = (t, s)
             if key not in state_map:
                 state_map[key] = out.add_state()
                 acoustic_costs.append([])
+                state_keys.append(key)
             return state_map[key]
 
         def surviving(t, s):
@@ -203,7 +298,7 @@ class LatticeFasterDecoder:
         for s, fw in finals.items():
             if surviving(T, s) and (T, s) in state_map:
                 out.set_final(state_map[(T, s)], fw)
-        return Lattice(out, acoustic_costs)
+        return Lattice(out, acoustic_costs, state_keys)
 
 
 class LatticeSimpleDecoder(LatticeFasterDecoder):
