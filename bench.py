@@ -1,17 +1,25 @@
 """Benchmark: align + acc-stats throughput (audio-seconds/s/chip).
 
-Measures the framework's hot path — fused-GEMM GMM log-likelihoods, exact
-dense Viterbi alignment, and sufficient-statistics accumulation — on an
-AudioMNIST-scale monophone system (digits lexicon, 3-state phones, 80-dim
-features, 16 Gaussians/pdf), batched over utterances.
+Three measurements on the real chip, one JSON line:
+
+1. **Headline** (``value``): the raw jitted E-step — fused-GEMM GMM
+   log-likelihoods, exact dense Viterbi alignment (banded Pallas
+   kernel), sufficient-statistics accumulation — on an AudioMNIST-scale
+   monophone system (50 pdfs x 16 mix, D=80), batch 256 x 5 s.
+2. ``corpus_em_pass``: the USER-FACING number — one full EM pass over a
+   1024-utterance corpus through EStepPipeline (pipelined batches,
+   device feature cache, vectorized transition refresh), including all
+   host work and transfers.
+3. ``triphone``: a triphone-scale model (P=2048 pdfs, K=32, D=80 —
+   P*K = 64k Gaussians, the regime the size-gated gather stats path
+   exists for), f32 and bf16 scoring, with an estimated model-FLOP
+   utilization: this config is MXU-bound, unlike the tiny monophone.
 
 The metric is audio seconds processed per wall-clock second per chip
-(100 frames per audio second).  ``vs_baseline`` is the speedup over the
-same computation on the host CPU backend (the reference implementation is
-single-threaded CPU; its own recipe publishes no numbers — BASELINE.md).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "audio-sec/s/chip", "vs_baseline": N}
+(100 frames per audio second).  ``vs_baseline`` is the headline's
+speedup over the same computation on the host CPU backend (the
+reference implementation is single-threaded CPU; it publishes no
+numbers of its own — BASELINE.md).
 """
 
 import json
@@ -28,26 +36,35 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np
 
+# v5e peak: ~394 TFLOP/s bf16, ~197 TFLOP/s f32 (MXU).  Used only for
+# the reported MFU estimate; the assumption is part of the key name.
+_PEAK_F32 = 197e12
+_PEAK_BF16 = 394e12
 
-def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16, seed=0):
-    import jax.numpy as jnp
 
-    from khg_tpu.align.packed import pack_graph, pack_graph_batch
+def build_system(num_phones=None, mix=16, dim=80, seed=0):
+    """Lexicon -> topology -> flat-start model -> graph compiler.
+
+    num_phones=None gives the AudioMNIST digits lexicon (~50 pdfs);
+    num_phones=N gives N single-phone words (triphone-scale pdf counts
+    with a consistent tid->pdf contract throughout).
+    """
     from khg_tpu.graph.compiler import TrainingGraphCompiler
-    from khg_tpu.graph.h_builder import add_transition_probs
     from khg_tpu.lang.lexicon import Lexicon, Lexiconp
     from khg_tpu.lang.lfst import make_lexicon_fst_with_silence
     from khg_tpu.lang.topo import generate_hmm_topo
-    from khg_tpu.model.context_dep import monophone_context_dependency
-    from khg_tpu.model.transition_model import TransitionModel
     from khg_tpu.recipes.steps import gmm_init_mono
 
     rng = np.random.default_rng(seed)
-    digits = "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE".split()
-    word2phones = {"<SIL>": ["SIL"]}
-    for w in digits:
-        # char-level pronunciations (as scripts/generate_lexicon.py does)
-        word2phones[w] = [" ".join(w)]
+    if num_phones is None:
+        digits = "ZERO ONE TWO THREE FOUR FIVE SIX SEVEN EIGHT NINE".split()
+        word2phones = {"<SIL>": ["SIL"]}
+        for w in digits:
+            word2phones[w] = [" ".join(w)]
+    else:
+        word2phones = {"<SIL>": ["SIL"]}
+        for i in range(num_phones):
+            word2phones[f"W{i}"] = [f"P{i}"]
     lp = Lexiconp.from_lexicon(Lexicon(word2phones=word2phones)).add_lex_disambig()
     topo = generate_hmm_topo(
         non_sil_phones=lp.get_non_sil_phone_ids(),
@@ -57,14 +74,26 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16, seed=0):
     tm, tree, am = gmm_init_mono(topo, stats_feats)
     for p in range(am.num_pdfs):
         am.get_pdf(p).split(mix, 0.1, rng=rng)
-
     L = make_lexicon_fst_with_silence(lexiconp=lp, sil_prob=0.5, sil_phone="SIL")
     gc = TrainingGraphCompiler(tm, tree, L, disambig_syms=lp.disambig_phone_ids())
+    return lp, tm, tree, am, gc, rng
+
+
+def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16,
+                  seed=0, num_phones=None, words_per_utt=None):
+    from khg_tpu.align.packed import pack_graph, pack_graph_batch
+    from khg_tpu.graph.h_builder import add_transition_probs
+
+    lp, tm, tree, am, gc, rng = build_system(num_phones, mix, dim, seed)
     id2pdf = tm.id2pdf_array()
+    word_ids = [w for w in lp.word2id.values() if w > 0]
+    lm_words = [w for w in word_ids
+                if not lp.id2word[w].startswith(("<", "#"))]
     packed = []
     for i in range(num_graphs):
-        n_words = 4 + (i % 4)
-        words = [lp.word2id[digits[int(rng.integers(10))]] for _ in range(n_words)]
+        n_words = words_per_utt or (4 + (i % 4))
+        words = [lm_words[int(rng.integers(len(lm_words)))]
+                 for _ in range(n_words)]
         g = gc.compile_graph_from_text(words)
         add_transition_probs(tm, g, transition_scale=1.0, self_loop_scale=0.1)
         packed.append(pack_graph(g, id2pdf))
@@ -95,10 +124,20 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16, seed=0):
         "lens": lens,
         "id2pdf": id2pdf,
         "num_pdfs": am.num_pdfs,
+        "system": (lp, tm, tree, am, gc),
+        "packed_graphs": packed,
     }
 
 
-def run_estep(problem, device, iters, acoustic_scale=0.1):
+def estep_flops(problem):
+    """Analytic FLOPs of one E-step (the two scoring GEMMs dominate;
+    stats one-hot GEMMs included, DP/elementwise ignored)."""
+    B, T, D = problem["feats"].shape
+    P, K = problem["model"][0].shape
+    return 4 * B * T * P * K * D + 4 * B * T * P * D
+
+
+def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None):
     """Returns wall seconds per E-step (align + acc-stats) on `device`."""
     import jax
     import jax.numpy as jnp
@@ -117,6 +156,15 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
     banded = problem.get("banded")
     use_banded = banded is not None and device.platform != "cpu"
     if use_banded:
+        from khg_tpu.align.pallas_banded import banded_vmem_bytes, pick_block_b
+
+        Bb, DKb, Sb = banded.plane_cost.shape
+        block_b = pick_block_b(
+            banded_vmem_bytes, Bb, DKb, Sb,
+            problem["feats"].shape[1], int(problem["id2pdf"].max()) + 1,
+        )
+        use_banded = block_b is not None
+    if use_banded:
         graphs = jax.tree.map(put, banded)
         offsets = problem["offsets"]
     else:
@@ -126,11 +174,11 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
 
     @jax.jit
     def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
-        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        ll = gmm_loglikes(gconsts, miv, iv, feats, compute_dtype=compute_dtype)
         if use_banded:
             res = viterbi_align_banded(
                 graphs, offsets, ll, lens, id2pdf,
-                acoustic_scale=acoustic_scale, block_b=32,
+                acoustic_scale=acoustic_scale, block_b=block_b,
             )
         else:
             res = viterbi_align_batch(
@@ -157,6 +205,39 @@ def run_estep(problem, device, iters, acoustic_scale=0.1):
         out = estep(*args)
     float(out[-1])
     return (time.perf_counter() - t0) / iters, out
+
+
+def run_corpus_em(num_utts=1024, frames=500, dim=80, passes=3):
+    """Steady-state wall seconds per EM pass through EStepPipeline
+    (the user-facing corpus loop: pipelined batches, feature cache,
+    vectorized transition-cost refresh, host M-step accumulators)."""
+    from khg_tpu.recipes.pipeline import EStepPipeline
+    from khg_tpu.stats.accum import AccumAmDiagGmm
+
+    problem = build_problem(num_graphs=16, batch=16, frames=frames, dim=dim)
+    lp, tm, tree, am, gc = problem["system"]
+    rng = np.random.default_rng(1)
+    feats = [rng.standard_normal((frames, dim)).astype(np.float32)
+             for _ in range(num_utts)]
+    packed = [problem["packed_graphs"][i % 16] for i in range(num_utts)]
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=0.1, batch_size=256,
+        mix_pad_multiple=8, align_backend="banded",
+    )
+
+    def one_pass():
+        accs = AccumAmDiagGmm()
+        accs.init(am, flags=0b1111)
+        tacc = tm.init_stats()
+        res = pipeline.align_and_accumulate(am, packed, feats, accs, tacc)
+        assert res.num_done == num_utts, res.num_error
+
+    one_pass()  # compile + warm caches
+    one_pass()  # steady state
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        one_pass()
+    return (time.perf_counter() - t0) / passes
 
 
 def main():
@@ -188,16 +269,50 @@ def main():
     except Exception as e:  # CPU fallback missing: report raw value only
         print(f"baseline measurement failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "align+acc-stats throughput (audiomnist-scale monophone)",
-                "value": round(value, 2),
-                "unit": "audio-sec/s/chip",
-                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-            }
-        )
-    )
+    extras = {}
+    if on_tpu and "--headline-only" not in sys.argv:
+        try:
+            em_secs = run_corpus_em()
+            extras["corpus_em_pass_audio_sec_per_s"] = round(
+                1024 * frames / 100.0 / em_secs, 1
+            )
+            extras["corpus_em_pass_pct_of_raw"] = round(
+                100.0 * (1024 * frames / 100.0 / em_secs) / value, 1
+            )
+        except Exception as e:
+            print(f"corpus EM measurement failed: {e}", file=sys.stderr)
+        try:
+            tri = build_problem(
+                num_graphs=8, batch=64, frames=300, dim=80, mix=32,
+                num_phones=682, words_per_utt=3,
+            )
+            tb, tf = tri["feats"].shape[:2]
+            t_audio = tb * tf / 100.0
+            flops = estep_flops(tri)
+            t32, _ = run_estep(tri, default_dev, iters=3)
+            extras["triphone_f32_audio_sec_per_s"] = round(t_audio / t32, 1)
+            extras["triphone_f32_tflops"] = round(flops / t32 / 1e12, 1)
+            extras["triphone_f32_mfu_pct_vs_197tf"] = round(
+                100.0 * flops / t32 / _PEAK_F32, 1
+            )
+            tbf, _ = run_estep(tri, default_dev, iters=3,
+                               compute_dtype="bfloat16")
+            extras["triphone_bf16_audio_sec_per_s"] = round(t_audio / tbf, 1)
+            extras["triphone_bf16_mfu_pct_vs_394tf"] = round(
+                100.0 * flops / tbf / _PEAK_BF16, 1
+            )
+            extras["triphone_pdfs_x_mix"] = list(tri["model"][0].shape)
+        except Exception as e:
+            print(f"triphone measurement failed: {e}", file=sys.stderr)
+
+    rec = {
+        "metric": "align+acc-stats throughput (audiomnist-scale monophone)",
+        "value": round(value, 2),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }
+    rec.update(extras)
+    print(json.dumps(rec))
 
 
 def orchestrate():
@@ -206,12 +321,17 @@ def orchestrate():
     The TPU tunnel in this environment can wedge hard (even device
     enumeration hangs in native code, unkillable from Python).  Running
     the measurement in a child process bounds the damage: on timeout we
-    fall back to a CPU-only measurement, and always emit one JSON line.
+    retry with the headline measurement only, then fall back to a
+    CPU-only measurement, and always emit one JSON line.
     """
     import subprocess
 
     here = os.path.abspath(__file__)
-    for args, note in [([], None), (["--cpu-only"], "cpu-fallback")]:
+    for args, note in [
+        ([], None),
+        (["--headline-only"], "headline-only: full run timed out"),
+        (["--cpu-only"], "cpu-fallback: TPU unavailable"),
+    ]:
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", here, "--inner", *args],
@@ -224,7 +344,7 @@ def orchestrate():
             if line.startswith("{"):
                 if note:
                     rec = json.loads(line)
-                    rec["metric"] += f" ({note}: TPU unavailable)"
+                    rec["metric"] += f" ({note})"
                     line = json.dumps(rec)
                 print(line)
                 return

@@ -306,7 +306,7 @@ def banded_vmem_bytes(
     B: int, DK: int, S0: int, T: int, P: int,
     block_b: int = 8, time_chunk: int = 128, lane: int = 128,
 ) -> int:
-    """Approximate per-program VMEM footprint; callers gate on ~12 MB."""
+    """Approximate per-program VMEM footprint (gate with VMEM_BUDGET)."""
     S = _round_up(S0, lane)
     Pp = _round_up(P, lane)
     Tc = min(time_chunk, _round_up(T, 8))
@@ -315,6 +315,37 @@ def banded_vmem_bytes(
         2 * 2 * block_b * DK * S * 4     # plane cost+tid (double-buffered)
         + block_b * S * Pp * 2           # pdf one-hot
         + block_b * Tc * S * 4           # acoustic chunk
-        + block_b * Tpad * S * 4         # backpointers
+        + block_b * Tpad * S * 1         # backpointers (int8)
         + 2 * block_b * Tpad * Pp * 4    # loglikes block (double-buffered)
     )
+
+
+# v5e has ~128 MiB of VMEM; 60 MiB leaves headroom for Mosaic's own
+# buffers and pipelining.  (The old 12 MiB gate, sized off the generic
+# "~16 MB/core" rule plus a 4x-overcounted int8 term, forced block_b
+# down to 8 and cost ~2x corpus-pass throughput.)
+VMEM_BUDGET = 60 * 2**20
+
+
+def pick_block_b(
+    vmem_fn, B: int, DK: int, S0: int, T: int, P: int,
+    max_block_b: int = 32, budget: int = VMEM_BUDGET,
+):
+    """Largest power-of-two block_b <= max_block_b whose estimated VMEM
+    footprint fits ``budget``, or None if even block_b=1 does not
+    (callers then use the XLA path)."""
+    if P > 1024:
+        # Triphone-scale pdf counts: Mosaic fails to lower the in-kernel
+        # P-wide one-hot acoustic GEMM (observed at P=2048 regardless of
+        # block size), and the regime is scoring-GEMM-bound anyway — the
+        # DP the banded kernel accelerates is a rounding error there.
+        # The XLA scan path is the right kernel; use it.
+        return None
+    block_b = min(max_block_b, B)
+    while block_b > 1 and vmem_fn(
+        B, DK, S0, T, P, block_b=block_b
+    ) > budget:
+        block_b //= 2
+    if vmem_fn(B, DK, S0, T, P, block_b=block_b) > budget:
+        return None
+    return block_b

@@ -45,6 +45,9 @@ from khg_tpu.stats.accum import (
 
 logger = logging.getLogger(__name__)
 
+# distinguishes "not cached" from a cached None ("use the XLA path")
+_BANDED_CACHE_MISS = object()
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -221,6 +224,11 @@ class EStepPipeline:
         self._feat_cache = collections.OrderedDict()
         self._feat_cache_bytes = 0
         self._band_perm_cache = collections.OrderedDict()
+        # device-resident banded tables keyed on (structure, costs):
+        # EM passes re-align the same batches, and rebuilding + re-
+        # uploading ~7 MB of plane tables per batch per pass costs more
+        # than the aligned kernel itself (~95 ms vs ~17 ms measured)
+        self._banded_args_cache = collections.OrderedDict()
 
     def _pipelined(self, batches, dispatch, drain, max_in_flight):
         """Run dispatch over batches with up to max_in_flight undrained,
@@ -290,20 +298,46 @@ class EStepPipeline:
         )
 
     def _try_pack_banded(self, graphs, frames, fb: bool = False):
-        """Banded tables for this batch, or None to use the XLA path."""
+        """Banded tables for this batch, or None to use the XLA path.
+
+        Results (including the None "use XLA" verdict) are cached keyed
+        on (arc structure, costs): EM passes re-align the same batches,
+        and rebuilding + re-uploading ~7 MB of plane tables per batch
+        per pass costs more than the align kernel itself (~95 ms vs
+        ~17 ms measured through the tunnel).  Positive entries hold
+        DEVICE-resident tables, so hits skip the H2D transfer too.
+        """
+        from khg_tpu.align.packed import FAIL_PAD_THRESHOLD
+
+        in_src = np.asarray(graphs.in_src)
+        in_cost = np.asarray(graphs.in_cost)
+        real = in_cost < FAIL_PAD_THRESHOLD
+        key = (in_src.shape, in_src.tobytes(), np.packbits(real).tobytes())
+        ckey = (fb, frames, key, in_cost.tobytes())
+        _MISS = _BANDED_CACHE_MISS
+        hit = self._banded_args_cache.get(ckey, _MISS)
+        if hit is not _MISS:
+            self._banded_args_cache.move_to_end(ckey)
+            return hit
+        result = self._pack_banded_uncached(graphs, frames, fb, key)
+        self._banded_args_cache[ckey] = result
+        while len(self._banded_args_cache) > 8:  # ~7 MB device each
+            self._banded_args_cache.popitem(last=False)
+        return result
+
+    def _pack_banded_uncached(self, graphs, frames, fb, key):
         import jax
 
         from khg_tpu.align.banded import band_renumber, pack_banded
-        from khg_tpu.align.packed import FAIL_PAD_THRESHOLD
-        from khg_tpu.align.pallas_banded import banded_vmem_bytes
+        from khg_tpu.align.pallas_banded import (
+            banded_vmem_bytes,
+            pick_block_b,
+        )
         from khg_tpu.align.pallas_banded_fb import banded_fb_vmem_bytes
 
         # the SCC renumbering depends only on the arc structure, which EM
         # passes leave unchanged (only costs move) — cache it on exactly
         # that structure (bytes keys: cheap memcmp on hit)
-        in_src = np.asarray(graphs.in_src)
-        real = np.asarray(graphs.in_cost) < FAIL_PAD_THRESHOLD
-        key = (in_src.shape, in_src.tobytes(), np.packbits(real).tobytes())
         ren, perm = band_renumber(graphs, perm=self._band_perm_cache.get(key))
         self._band_perm_cache[key] = perm
         while len(self._band_perm_cache) > 64:  # bounded (keys hold blobs)
@@ -323,14 +357,14 @@ class EStepPipeline:
             return None
         P = int(self.id2pdf.max()) + 1  # pdf one-hot width = num loglike cols
         vmem = banded_fb_vmem_bytes if fb else banded_vmem_bytes
-        block_b = min(32, B)
-        while block_b > 1 and vmem(
-            B, DK, S, frames, P, block_b=block_b
-        ) > 12 * 2**20:
-            block_b //= 2
-        if vmem(B, DK, S, frames, P, block_b=block_b) > 12 * 2**20:
+        block_b = pick_block_b(vmem, B, DK, S, frames, P)
+        if block_b is None:
             return None  # even block_b=1 would blow VMEM — use the XLA path
         interpret = jax.default_backend() == "cpu"
+        if not interpret:  # park the tables on the device once
+            import jax.numpy as jnp
+
+            banded = jax.tree.map(jnp.asarray, banded)
         return banded, offsets, block_b, interpret
 
     # ------------------------------------------------------------- packing
@@ -585,10 +619,16 @@ class EStepPipeline:
                     block_b=block_b, interpret=interpret,
                 )
             else:
+                sp = uniform_dest_pdf(graphs)
                 fb = forward_backward_batch(
                     graphs, ll, lens, num_tids,
                     acoustic_scale=self.acoustic_scale,
-                    state_pdf=uniform_dest_pdf(graphs),
+                    state_pdf=sp,
+                    # long batches: checkpointed alphas (O(sqrt-ish T)
+                    # residency instead of O(T)); exact
+                    time_chunk=(
+                        256 if sp is not None and bt > 1024 else None
+                    ),
                 )
             flat = _soft_stats_device(
                 model.gconsts, model.means_invvars, model.inv_vars,

@@ -65,31 +65,51 @@ def _value_name(key: int, value: int, phone_syms: Optional[Dict[int, str]]) -> s
 def draw_tree(
     tree: ContextDependency,
     phone_syms: Optional[Dict[int, str]] = None,
+    query: Optional[Dict[int, int]] = None,
 ) -> str:
-    """DOT digraph of the decision tree (leaves are pdf-ids)."""
+    """DOT digraph of the decision tree (leaves are pdf-ids).
+
+    ``query`` optionally highlights one lookup's path in red — the
+    equivalent of the reference TreeRenderer's query mode
+    (tree-renderer.h:20-58, "-query" in draw-tree): a mapping from
+    event key (K_PDF_CLASS or context position) to value, e.g.
+    ``{0: phone_id, K_PDF_CLASS: 1}`` for a monophone tree.  Nodes and
+    edges on the decision path are drawn bold red; the answering leaf
+    is filled red.
+    """
     lines = ["digraph tree {", '  node [shape="box"];']
     counter = [0]
+    HL = ' color="red", penwidth=2.0'
 
     def node_id() -> str:
         counter[0] += 1
         return f"n{counter[0]}"
 
-    def render(m: EventMap) -> str:
+    def render(m: EventMap, on_path: bool) -> str:
         nid = node_id()
+        hl_node = "," + HL if on_path else ""
         if isinstance(m, ConstantEventMap):
+            fill = "indianred1" if on_path else "lightgray"
             lines.append(
                 f'  {nid} [label="pdf {m.answer}", shape="ellipse", '
-                'style="filled", fillcolor="lightgray"];'
+                f'style="filled", fillcolor="{fill}"{hl_node}];'
             )
         elif isinstance(m, TableEventMap):
-            lines.append(f'  {nid} [label="{_key_name(m.key, phone_syms)}?"];')
+            lines.append(
+                f'  {nid} [label="{_key_name(m.key, phone_syms)}?"'
+                f'{hl_node}];'
+            )
+            qv = query.get(m.key) if (on_path and query) else None
             for value, child in enumerate(m.table):
                 if child is None:
                     continue
-                cid = render(child)
+                taken = qv is not None and value == qv
+                cid = render(child, taken)
+                hl_edge = "," + HL if taken else ""
                 lines.append(
                     f'  {nid} -> {cid} '
-                    f'[label="{_value_name(m.key, value, phone_syms)}"];'
+                    f'[label="{_value_name(m.key, value, phone_syms)}"'
+                    f'{hl_edge}];'
                 )
         elif isinstance(m, SplitEventMap):
             values = " ".join(
@@ -97,17 +117,26 @@ def draw_tree(
             )
             lines.append(
                 f'  {nid} [label="{_key_name(m.key, phone_syms)} in '
-                f'{{{values}}}?"];'
+                f'{{{values}}}?"{hl_node}];'
             )
-            yid = render(m.yes)
-            nid2 = render(m.no)
-            lines.append(f'  {nid} -> {yid} [label="yes"];')
-            lines.append(f'  {nid} -> {nid2} [label="no"];')
+            qv = query.get(m.key) if (on_path and query) else None
+            take_yes = qv is not None and qv in m.yes_set
+            take_no = qv is not None and qv not in m.yes_set
+            yid = render(m.yes, take_yes)
+            nid2 = render(m.no, take_no)
+            lines.append(
+                f'  {nid} -> {yid} [label="yes"'
+                f'{"," + HL if take_yes else ""}];'
+            )
+            lines.append(
+                f'  {nid} -> {nid2} [label="no"'
+                f'{"," + HL if take_no else ""}];'
+            )
         else:
             raise TypeError(type(m))
         return nid
 
-    render(tree.to_pdf)
+    render(tree.to_pdf, query is not None)
     lines.append("}")
     return "\n".join(lines)
 

@@ -330,3 +330,51 @@ def test_soft_em_log_z_drift_bounded(setup):
         )
     # and EM made progress
     assert log_z > -1e30
+
+
+@pytest.mark.parametrize("chunk", [4, 7, 64])
+def test_fb_time_chunked_matches_unchunked(setup, chunk):
+    """time_chunk remat (long-utterance memory plan, SURVEY §5.7): the
+    checkpointed FB matches the unchunked state_pdf path to compiler-
+    fusion rounding (same per-step math; XLA regroups the fused scans
+    differently, so a few ULPs move on near-zero posteriors)."""
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    id2pdf = tm.id2pdf_array()
+    words = [[lp.word2id["YES"], lp.word2id["NO"]], [lp.word2id["NO"]]]
+    packed = [
+        pack_graph(aligned_graph(gc, tm, w), id2pdf) for w in words
+    ]
+    lens_l = [21, 13]
+    feats = np.zeros((2, max(lens_l), 6), dtype=np.float32)
+    for i, t in enumerate(lens_l):
+        feats[i, :t] = rng.standard_normal((t, 6)).astype(np.float32)
+    ll = loglikes_np(am.pack(), feats)
+    graphs = pack_graph_batch(packed, states_pad_to=8, indeg_pad_to=2)
+    lens = np.array(lens_l, np.int32)
+    from khg_tpu.align.packed import uniform_dest_pdf as udp
+
+    sp = udp(graphs)
+    assert sp is not None
+    base = forward_backward_batch(
+        graphs, ll, lens, tm.num_transition_ids, acoustic_scale=0.6,
+        state_pdf=sp,
+    )
+    chk = forward_backward_batch(
+        graphs, ll, lens, tm.num_transition_ids, acoustic_scale=0.6,
+        state_pdf=sp, time_chunk=chunk,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.log_z), np.asarray(chk.log_z), rtol=0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.gamma), np.asarray(chk.gamma), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.tid_counts), np.asarray(chk.tid_counts),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.failed), np.asarray(chk.failed)
+    )

@@ -53,3 +53,30 @@ def test_careful_alignment_graph(setup):
         np.asarray(res_plain.tids)[0].tolist()
         == np.asarray(res_careful.tids)[0].tolist()
     )
+
+
+def test_draw_tree_query_highlight():
+    """Query-path highlighting, the reference TreeRenderer's -query mode
+    (tree-renderer.h:20-58): exactly the decision path to the queried
+    (phone, pdf-class)'s pdf is drawn in red, and the highlighted leaf
+    is the pdf the tree actually computes."""
+    from khg_tpu.model.event_map import K_PDF_CLASS
+
+    lp, topo, tree, tm, gc = build_yesno_like()
+    phone = lp.get_sil_phone_id()
+    pdf_class = 1
+    want_pdf = tree.compute([phone], pdf_class)
+    dot = draw_tree(
+        tree, phone_syms=lp.id2phone,
+        query={0: phone, K_PDF_CLASS: pdf_class},
+    )
+    red_lines = [ln for ln in dot.splitlines() if 'color="red"' in ln]
+    assert red_lines, "query must highlight a path"
+    # exactly one leaf is highlighted, and it is the right pdf
+    red_leaves = [ln for ln in red_lines if "ellipse" in ln]
+    assert len(red_leaves) == 1
+    assert f"pdf {want_pdf}" in red_leaves[0]
+    # no query -> no highlighting, same structure otherwise
+    plain = draw_tree(tree, phone_syms=lp.id2phone)
+    assert 'color="red"' not in plain
+    assert plain.count("->") == dot.count("->")
