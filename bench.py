@@ -137,7 +137,8 @@ def estep_flops(problem):
     return 4 * B * T * P * K * D + 4 * B * T * P * D
 
 
-def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None):
+def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
+              pallas_scoring=False):
     """Returns wall seconds per E-step (align + acc-stats) on `device`."""
     import jax
     import jax.numpy as jnp
@@ -146,6 +147,7 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None):
     from khg_tpu.align.pallas_banded import viterbi_align_banded
     from khg_tpu.align.viterbi import viterbi_align_batch
     from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+    from khg_tpu.gmm.pallas_kernels import loglikes_pallas
     from khg_tpu.stats.accum import accumulate_am_stats
 
     put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
@@ -174,7 +176,15 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None):
 
     @jax.jit
     def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
-        ll = gmm_loglikes(gconsts, miv, iv, feats, compute_dtype=compute_dtype)
+        if pallas_scoring:
+            ll = loglikes_pallas(
+                gconsts, miv, iv, feats, compute_dtype=compute_dtype,
+                interpret=device.platform == "cpu",
+            )
+        else:
+            ll = gmm_loglikes(
+                gconsts, miv, iv, feats, compute_dtype=compute_dtype
+            )
         if use_banded:
             res = viterbi_align_banded(
                 graphs, offsets, ll, lens, id2pdf,
@@ -289,14 +299,18 @@ def main():
             tb, tf = tri["feats"].shape[:2]
             t_audio = tb * tf / 100.0
             flops = estep_flops(tri)
-            t32, _ = run_estep(tri, default_dev, iters=3)
+            # fused Pallas scoring (logsumexp in the GEMM epilogue) +
+            # banded Viterbi with the external-acoustic wide-model path
+            t32, _ = run_estep(tri, default_dev, iters=3,
+                               pallas_scoring=True)
             extras["triphone_f32_audio_sec_per_s"] = round(t_audio / t32, 1)
             extras["triphone_f32_tflops"] = round(flops / t32 / 1e12, 1)
             extras["triphone_f32_mfu_pct_vs_197tf"] = round(
                 100.0 * flops / t32 / _PEAK_F32, 1
             )
             tbf, _ = run_estep(tri, default_dev, iters=3,
-                               compute_dtype="bfloat16")
+                               compute_dtype="bfloat16",
+                               pallas_scoring=True)
             extras["triphone_bf16_audio_sec_per_s"] = round(t_audio / tbf, 1)
             extras["triphone_bf16_mfu_pct_vs_394tf"] = round(
                 100.0 * flops / tbf / _PEAK_BF16, 1

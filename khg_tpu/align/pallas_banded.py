@@ -53,33 +53,40 @@ def _banded_kernel(
     offs_ref,    # (1, DK, 1) int32 (shared across blocks)
     cost_ref,    # (1, DK, Bb, S) f32 (plane-major)
     tid_ref,     # (1, DK, Bb, S) f32 (tids are < 2^24: exact in f32)
-    spdf_ref,    # (1, Bb, S) int32
+    spdf_ref,    # (1, Bb, S) int32 (unused when external_ac)
     init_ref,    # (1, Bb, S) f32
     final_ref,   # (1, Bb, S) f32
-    ll_ref,      # (1, Bb, Tpad, P) f32
+    ll_ref,      # (1, Bb, Tpad, P) f32 loglikes — OR, when external_ac,
+                 #   (1, Bb, Tpad, S) precomputed per-state acoustic
     tids_ref,    # out (1, Tpad, Bb) int32
     cost_out_ref,  # out (1, Bb, 1) f32
-    ohpdf_ref,   # scratch VMEM (Bb, S, P) bf16
-    ac_ref,      # scratch VMEM (Tc, Bb, S) f32
-    bp_ref,      # scratch VMEM (Tpad, Bb, S) int8 (DK < 128; dim 0
-                 #   dynamic: full-tile stores, no read-modify-write)
-    *,
+    *scratch,    # [ohpdf (Bb, S, P) bf16 — only when not external_ac],
+                 # ac (Tc, Bb, S) f32,
+                 # bp (Tpad, Bb, S) int8 (DK < 128; dim 0 dynamic:
+                 #   full-tile stores, no read-modify-write)
     offsets: Tuple[int, ...],
     K: int,
     Tc: int,
     scale: float,
+    external_ac: bool = False,
 ):
     _, DK, Bb, S = cost_ref.shape
     D = DK // K
-    P = ll_ref.shape[3]
     Tpad = ll_ref.shape[2]
     n_chunks = Tpad // Tc
     base = offsets[0]
     # offsets must be K copies each of a contiguous ascending range so
     # ONE strided roll produces every shifted alpha (asserted in wrapper)
 
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (Bb, S, P), 2)
-    ohpdf_ref[:] = (spdf_ref[0][:, :, None] == p_iota).astype(jnp.bfloat16)
+    if external_ac:
+        ac_ref, bp_ref = scratch
+    else:
+        ohpdf_ref, ac_ref, bp_ref = scratch
+        P = ll_ref.shape[3]
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (Bb, S, P), 2)
+        ohpdf_ref[:] = (spdf_ref[0][:, :, None] == p_iota).astype(
+            jnp.bfloat16
+        )
 
     nf = nf_ref[0]  # (Bb, 1)
     cost4 = cost_ref[0].reshape(D, K, Bb, S)
@@ -106,14 +113,17 @@ def _banded_kernel(
         return best, bp
 
     def chunk_body(c, alpha):
-        ll_chunk = ll_ref[0, :, pl.ds(c * Tc, Tc), :]  # (Bb, Tc, P)
-        ac = jax.lax.dot_general(
-            ll_chunk,
-            ohpdf_ref[:].astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_HI,
-        )  # (Bb, Tc, S)
+        if external_ac:  # the select already ran outside as one GEMM
+            ac = ll_ref[0, :, pl.ds(c * Tc, Tc), :]  # (Bb, Tc, S)
+        else:
+            ll_chunk = ll_ref[0, :, pl.ds(c * Tc, Tc), :]  # (Bb, Tc, P)
+            ac = jax.lax.dot_general(
+                ll_chunk,
+                ohpdf_ref[:].astype(jnp.float32),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=_HI,
+            )  # (Bb, Tc, S)
         ac_ref[:] = jnp.swapaxes(ac, 0, 1)  # (Tc, Bb, S): dim-0 step slices
 
         def step_body(i, alpha):
@@ -163,7 +173,7 @@ def _banded_kernel(
     jax.jit,
     static_argnames=(
         "plane_offsets", "acoustic_scale", "block_b", "time_chunk",
-        "interpret", "lane",
+        "interpret", "lane", "external_ac",
     ),
 )
 def viterbi_align_banded(
@@ -177,16 +187,27 @@ def viterbi_align_banded(
     time_chunk: int = 128,
     interpret: bool = False,
     lane: int = 128,
+    external_ac=None,                # None: auto (P > EXTERNAL_AC_PDFS)
 ) -> ViterbiResult:
     """Exact banded Viterbi alignment (fused Pallas kernel).
 
     Use align.banded.band_renumber + pack_banded to build the inputs;
     fall back to align.viterbi.viterbi_align_batch when pack_banded
     returns None.
+
+    For wide models (P > EXTERNAL_AC_PDFS, e.g. triphone systems) the
+    per-state acoustic select runs OUTSIDE the kernel as one exact
+    one-hot MXU GEMM and the kernel streams the (T, S) acoustic lattice
+    instead of (T, P) loglikes — VMEM drops from O(Tpad*P) to
+    O(Tpad*S) per block, and the P-wide in-kernel one-hot (which Mosaic
+    fails to lower at P~2048) disappears.  Same math, identical
+    alignments (pinned by tests).
     """
     B, DK, S0 = banded.plane_cost.shape
     T = loglikes.shape[1]
     P = loglikes.shape[2]
+    if external_ac is None:
+        external_ac = P > EXTERNAL_AC_PDFS
 
     Bp = _round_up(B, block_b)
     nB = Bp // block_b
@@ -208,7 +229,19 @@ def viterbi_align_banded(
     state_pdf = pad(banded.state_pdf, (Bp, S), 0)
     init_cost = pad(banded.init_cost, (Bp, S), BIG)
     final_cost = pad(banded.final_cost, (Bp, S), BIG)
-    ll = pad(loglikes, (Bp, Tpad, P), 0.0)
+    if external_ac:
+        # exact 0/1 select on the MXU: sac[b, t, s] = ll[b, t, pdf(s)]
+        oh = (
+            jnp.asarray(banded.state_pdf)[:, :, None]
+            == jnp.arange(P, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)  # (B, S0, P)
+        sac = jnp.einsum(
+            "btp,bsp->bts", loglikes, oh,
+            precision=_HI, preferred_element_type=jnp.float32,
+        )  # (B, T, S0)
+        ll = pad(sac, (Bp, Tpad, S), 0.0)
+    else:
+        ll = pad(loglikes, (Bp, Tpad, P), 0.0)
     nf = pad(num_frames.astype(jnp.int32)[:, None], (Bp, 1), 0)
 
     def blk(x, *trail):
@@ -244,7 +277,15 @@ def viterbi_align_banded(
         K=K,
         Tc=Tc,
         scale=float(acoustic_scale),
+        external_ac=external_ac,
     )
+    ll_width = S if external_ac else P
+    scratch_shapes = [
+        pltpu.VMEM((Tc, block_b, S), jnp.float32),
+        pltpu.VMEM((Tpad, block_b, S), jnp.int8),
+    ]
+    if not external_ac:
+        scratch_shapes.insert(0, pltpu.VMEM((block_b, S, P), jnp.bfloat16))
     tids_tb, cost = pl.pallas_call(
         kernel,
         grid=(nB,),
@@ -258,7 +299,7 @@ def viterbi_align_banded(
             spec(block_b, S),
             spec(block_b, S),
             spec(block_b, S),
-            spec(block_b, Tpad, P),
+            spec(block_b, Tpad, ll_width),
         ],
         out_specs=[
             spec(Tpad, block_b),
@@ -268,18 +309,14 @@ def viterbi_align_banded(
             jax.ShapeDtypeStruct((nB, Tpad, block_b), jnp.int32),
             jax.ShapeDtypeStruct((nB, block_b, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_b, S, P), jnp.bfloat16),
-            pltpu.VMEM((Tc, block_b, S), jnp.float32),
-            pltpu.VMEM((Tpad, block_b, S), jnp.int8),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(
         blk(nf, 1),
         jnp.asarray(plane_offsets, dtype=jnp.int32).reshape(1, DK, 1),
         plane_major(plane_cost), plane_major(plane_tid),
         blk(state_pdf, S), blk(init_cost, S), blk(final_cost, S),
-        blk(ll, Tpad, P),
+        blk(ll, Tpad, ll_width),
     )
 
     tids = jnp.swapaxes(tids_tb, 1, 2).reshape(Bp, Tpad)[:B, :T]
@@ -302,6 +339,12 @@ def viterbi_align_banded(
     )
 
 
+# above this pdf count the wrapper precomputes the acoustic lattice
+# outside the kernel (one exact one-hot MXU GEMM) and streams (T, S)
+# instead of (T, P) — see viterbi_align_banded(external_ac=...)
+EXTERNAL_AC_PDFS = 512
+
+
 def banded_vmem_bytes(
     B: int, DK: int, S0: int, T: int, P: int,
     block_b: int = 8, time_chunk: int = 128, lane: int = 128,
@@ -311,6 +354,13 @@ def banded_vmem_bytes(
     Pp = _round_up(P, lane)
     Tc = min(time_chunk, _round_up(T, 8))
     Tpad = _round_up(T, Tc)
+    if P > EXTERNAL_AC_PDFS:  # external-acoustic mode: no P-wide blocks
+        return (
+            2 * 2 * block_b * DK * S * 4
+            + block_b * Tc * S * 4
+            + block_b * Tpad * S * 1
+            + 2 * block_b * Tpad * S * 4  # sac block (double-buffered)
+        )
     return (
         2 * 2 * block_b * DK * S * 4     # plane cost+tid (double-buffered)
         + block_b * S * Pp * 2           # pdf one-hot
@@ -334,13 +384,6 @@ def pick_block_b(
     """Largest power-of-two block_b <= max_block_b whose estimated VMEM
     footprint fits ``budget``, or None if even block_b=1 does not
     (callers then use the XLA path)."""
-    if P > 1024:
-        # Triphone-scale pdf counts: Mosaic fails to lower the in-kernel
-        # P-wide one-hot acoustic GEMM (observed at P=2048 regardless of
-        # block size), and the regime is scoring-GEMM-bound anyway — the
-        # DP the banded kernel accelerates is a rounding error there.
-        # The XLA scan path is the right kernel; use it.
-        return None
     block_b = min(max_block_b, B)
     while block_b > 1 and vmem_fn(
         B, DK, S0, T, P, block_b=block_b

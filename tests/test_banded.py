@@ -308,3 +308,35 @@ def test_banded_forward_backward_interpret(setup):  # noqa: F811
         np.asarray(b.tid_counts), np.asarray(a.tid_counts), atol=1e-3
     )
     np.testing.assert_array_equal(np.asarray(b.failed), np.asarray(a.failed))
+
+
+def test_pallas_banded_external_ac_matches(setup):  # noqa: F811
+    """external_ac mode (acoustic select outside the kernel, the wide-
+    model path) produces identical alignments and costs to the in-kernel
+    one-hot mode — both exact 0/1 GEMM selects, different placement."""
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+    lp = setup[0]
+    words = [
+        [lp.word2id["YES"]],
+        [lp.word2id["NO"], lp.word2id["YES"], lp.word2id["NO"]],
+    ]
+    lens = [14, 33]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    out = pack_banded(ren, sp)
+    assert out is not None
+    banded, offsets = out
+    kw = dict(acoustic_scale=0.5, block_b=2, time_chunk=16, interpret=True)
+    a = viterbi_align_banded(
+        banded, offsets, ll, nf, id2pdf, external_ac=False, **kw
+    )
+    b = viterbi_align_banded(
+        banded, offsets, ll, nf, id2pdf, external_ac=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(b.tids))
+    np.testing.assert_allclose(
+        np.asarray(a.total_cost), np.asarray(b.total_cost), rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(a.failed), np.asarray(b.failed))
