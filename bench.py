@@ -138,8 +138,14 @@ def estep_flops(problem):
 
 
 def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
-              pallas_scoring=False):
-    """Returns wall seconds per E-step (align + acc-stats) on `device`."""
+              pallas_scoring=False, per_state_scoring=False):
+    """Returns wall seconds per E-step (align + acc-stats) on `device`.
+
+    per_state_scoring=True scores only each graph state's pdf
+    (gmm.likelihoods.loglikes_per_state -> sac-mode banded Viterbi):
+    O(S) instead of O(P) scoring work — the triphone fast path.
+    Requires the banded tables.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -147,6 +153,7 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
     from khg_tpu.align.pallas_banded import viterbi_align_banded
     from khg_tpu.align.viterbi import viterbi_align_batch
     from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+    from khg_tpu.gmm.likelihoods import loglikes_per_state
     from khg_tpu.gmm.pallas_kernels import loglikes_pallas
     from khg_tpu.stats.accum import accumulate_am_stats
 
@@ -173,6 +180,38 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
         graphs = jax.tree.map(put, problem["graphs"])
         state_pdf = uniform_dest_pdf(problem["graphs"])
         uniform = state_pdf is not None
+
+    if per_state_scoring:
+        assert use_banded, "per-state scoring needs the banded tables"
+        spdf = put(problem["banded"].state_pdf)
+
+        @jax.jit
+        def estep_ps(gconsts, miv, iv, graphs, feats, lens, id2pdf):
+            sac = loglikes_per_state(
+                gconsts, miv, iv, spdf, feats, compute_dtype=compute_dtype
+            )
+            res = viterbi_align_banded(
+                graphs, offsets, None, lens, id2pdf,
+                acoustic_scale=acoustic_scale, block_b=block_b, sac=sac,
+            )
+            T = feats.shape[1]
+            fw = (
+                (jnp.arange(T)[None, :] < lens[:, None]) & ~res.failed[:, None]
+            ).astype(jnp.float32)
+            stats = accumulate_am_stats(
+                gconsts, miv, iv, feats, id2pdf[res.tids], fw
+            )
+            return (res.tids, stats.occ, stats.mean_acc, stats.var_acc,
+                    stats.tot_log_like)
+
+        args = (gconsts, miv, iv, graphs, feats, lens, id2pdf)
+        out = estep_ps(*args)
+        float(out[-1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = estep_ps(*args)
+        float(out[-1])
+        return (time.perf_counter() - t0) / iters, out
 
     @jax.jit
     def estep(gconsts, miv, iv, graphs, feats, lens, id2pdf):
@@ -299,21 +338,23 @@ def main():
             tb, tf = tri["feats"].shape[:2]
             t_audio = tb * tf / 100.0
             flops = estep_flops(tri)
-            # fused Pallas scoring (logsumexp in the GEMM epilogue) +
-            # banded Viterbi with the external-acoustic wide-model path
+            # primary: per-state scoring (O(S) not O(P)) + sac-mode
+            # banded Viterbi — the triphone fast path
+            tps, _ = run_estep(tri, default_dev, iters=5,
+                               per_state_scoring=True)
+            extras["triphone_audio_sec_per_s"] = round(t_audio / tps, 1)
+            # reference point: full-P fused Pallas scoring (logsumexp in
+            # the GEMM epilogue) + banded external-acoustic
             t32, _ = run_estep(tri, default_dev, iters=3,
                                pallas_scoring=True)
-            extras["triphone_f32_audio_sec_per_s"] = round(t_audio / t32, 1)
-            extras["triphone_f32_tflops"] = round(flops / t32 / 1e12, 1)
-            extras["triphone_f32_mfu_pct_vs_197tf"] = round(
-                100.0 * flops / t32 / _PEAK_F32, 1
+            extras["triphone_fullP_f32_audio_sec_per_s"] = round(
+                t_audio / t32, 1
             )
-            tbf, _ = run_estep(tri, default_dev, iters=3,
-                               compute_dtype="bfloat16",
-                               pallas_scoring=True)
-            extras["triphone_bf16_audio_sec_per_s"] = round(t_audio / tbf, 1)
-            extras["triphone_bf16_mfu_pct_vs_394tf"] = round(
-                100.0 * flops / tbf / _PEAK_BF16, 1
+            extras["triphone_fullP_f32_tflops"] = round(
+                flops / t32 / 1e12, 1
+            )
+            extras["triphone_fullP_f32_mfu_pct_vs_197tf"] = round(
+                100.0 * flops / t32 / _PEAK_F32, 1
             )
             extras["triphone_pdfs_x_mix"] = list(tri["model"][0].shape)
         except Exception as e:

@@ -179,7 +179,7 @@ def _banded_kernel(
 def viterbi_align_banded(
     banded: BandedGraphs,            # leading axis B (jnp/np arrays)
     plane_offsets: Tuple[int, ...],  # static, length DK
-    loglikes: jnp.ndarray,           # (B, T, P)
+    loglikes: jnp.ndarray,           # (B, T, P) — or None with sac
     num_frames: jnp.ndarray,         # (B,) int32
     id2pdf: jnp.ndarray,             # (num_tids+1,) int32
     acoustic_scale: float = 1.0,
@@ -188,6 +188,7 @@ def viterbi_align_banded(
     interpret: bool = False,
     lane: int = 128,
     external_ac=None,                # None: auto (P > EXTERNAL_AC_PDFS)
+    sac=None,                        # (B, T, S0) precomputed per-state ll
 ) -> ViterbiResult:
     """Exact banded Viterbi alignment (fused Pallas kernel).
 
@@ -202,12 +203,24 @@ def viterbi_align_banded(
     O(Tpad*S) per block, and the P-wide in-kernel one-hot (which Mosaic
     fails to lower at P~2048) disappears.  Same math, identical
     alignments (pinned by tests).
+
+    ``sac`` supplies the (B, T, S0) per-state UNSCALED log-likelihood
+    lattice directly (e.g. from gmm.likelihoods.loglikes_per_state,
+    which never scores the P-S pdfs outside the graph).  ``loglikes``
+    may then be None; the result's ``acoustic_cost`` is returned as
+    zeros in that case (only tests consume it — pass loglikes too if
+    you need it).
     """
     B, DK, S0 = banded.plane_cost.shape
-    T = loglikes.shape[1]
-    P = loglikes.shape[2]
-    if external_ac is None:
-        external_ac = P > EXTERNAL_AC_PDFS
+    if sac is not None:
+        external_ac = True
+        T = sac.shape[1]
+        P = None  # never scored; only the (T, S) lattice enters
+    else:
+        T = loglikes.shape[1]
+        P = loglikes.shape[2]
+        if external_ac is None:
+            external_ac = P > EXTERNAL_AC_PDFS
 
     Bp = _round_up(B, block_b)
     nB = Bp // block_b
@@ -230,16 +243,17 @@ def viterbi_align_banded(
     init_cost = pad(banded.init_cost, (Bp, S), BIG)
     final_cost = pad(banded.final_cost, (Bp, S), BIG)
     if external_ac:
-        # exact 0/1 select on the MXU: sac[b, t, s] = ll[b, t, pdf(s)]
-        oh = (
-            jnp.asarray(banded.state_pdf)[:, :, None]
-            == jnp.arange(P, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.float32)  # (B, S0, P)
-        sac = jnp.einsum(
-            "btp,bsp->bts", loglikes, oh,
-            precision=_HI, preferred_element_type=jnp.float32,
-        )  # (B, T, S0)
-        ll = pad(sac, (Bp, Tpad, S), 0.0)
+        if sac is None:
+            # exact 0/1 select on the MXU: sac[b,t,s] = ll[b,t,pdf(s)]
+            oh = (
+                jnp.asarray(banded.state_pdf)[:, :, None]
+                == jnp.arange(P, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)  # (B, S0, P)
+            sac = jnp.einsum(
+                "btp,bsp->bts", loglikes, oh,
+                precision=_HI, preferred_element_type=jnp.float32,
+            )  # (B, T, S0)
+        ll = pad(jnp.asarray(sac, jnp.float32), (Bp, Tpad, S), 0.0)
     else:
         ll = pad(loglikes, (Bp, Tpad, P), 0.0)
     nf = pad(num_frames.astype(jnp.int32)[:, None], (Bp, 1), 0)
@@ -323,14 +337,17 @@ def viterbi_align_banded(
     total_cost = cost.reshape(Bp)[:B]
     failed = total_cost >= FAIL_THRESHOLD
 
-    frame_mask = jnp.arange(T)[None, :] < num_frames[:, None]
-    pdf_ids = id2pdf[tids]
-    ll_path = jnp.take_along_axis(
-        loglikes, jnp.maximum(pdf_ids, 0)[..., None], axis=2
-    )[..., 0]
-    acoustic_cost = -acoustic_scale * jnp.sum(
-        jnp.where(frame_mask, ll_path, 0.0), axis=1
-    )
+    if loglikes is not None:
+        frame_mask = jnp.arange(T)[None, :] < num_frames[:, None]
+        pdf_ids = id2pdf[tids]
+        ll_path = jnp.take_along_axis(
+            loglikes, jnp.maximum(pdf_ids, 0)[..., None], axis=2
+        )[..., 0]
+        acoustic_cost = -acoustic_scale * jnp.sum(
+            jnp.where(frame_mask, ll_path, 0.0), axis=1
+        )
+    else:  # sac-only mode: not computed (see docstring)
+        acoustic_cost = jnp.zeros((B,), jnp.float32)
     return ViterbiResult(
         tids=tids,
         total_cost=total_cost,

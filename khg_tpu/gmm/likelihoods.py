@@ -95,6 +95,45 @@ def loglikes(
     return jax.nn.logsumexp(scores, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def loglikes_per_state(
+    gconsts: jnp.ndarray,        # (P, K)
+    means_invvars: jnp.ndarray,  # (P, K, D)
+    inv_vars: jnp.ndarray,       # (P, K, D)
+    state_pdf: jnp.ndarray,      # (B, S) int32 — pdf of each graph state
+    feats: jnp.ndarray,          # (B, T, D)
+    compute_dtype: Optional[str] = None,
+) -> jnp.ndarray:
+    """(B, T, S) log-likelihoods of each graph STATE's pdf.
+
+    The alignment E-step only ever consumes loglikes of pdfs that occur
+    in each utterance's training graph (dest-uniform graphs: one pdf per
+    state), and the stats accumulators recompute per-assigned-pdf
+    posteriors from the model themselves — so scoring all P pdfs is
+    wasted work whenever S << P.  This scores per state instead: the
+    model rows are gathered once per (b, s) (a (B,S,K,2D) tensor, tiny
+    next to (B,T,P,K) component scores) and the GEMM shrinks by P/S —
+    ~32x fewer FLOPs at triphone scale (P~2048, S~64).  Identical
+    values to loglikes(...)[b, t, state_pdf[b, s]].
+    """
+    P, K, D = means_invvars.shape
+    A, g = _stack_model(gconsts, means_invvars, inv_vars)
+    A_state = A.reshape(P, K, 2 * D)[state_pdf]      # (B, S, K, 2D)
+    g_state = g.reshape(P, K)[state_pdf]             # (B, S, K)
+    x2 = _expand_feats(feats)                        # (B, T, 2D)
+    if compute_dtype == "bfloat16":
+        A_state = A_state.astype(jnp.bfloat16)
+        x2 = x2.astype(jnp.bfloat16)
+    precision = (
+        None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
+    )
+    scores = jnp.einsum(
+        "btd,bskd->btsk", x2, A_state,
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + g_state[:, None]
+    return jax.nn.logsumexp(scores, axis=-1)        # (B, T, S)
+
+
 def loglikes_np(packed, feats: np.ndarray) -> np.ndarray:
     """Convenience host wrapper taking a PackedGmm."""
     return np.asarray(

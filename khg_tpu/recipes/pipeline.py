@@ -495,19 +495,40 @@ class EStepPipeline:
                 if self.align_backend == "banded" else None
             )
             state_pdf = None if banded_args else uniform_dest_pdf(graphs)
-            ll = self._loglikes(model, bfeats)
             if banded_args:
-                from khg_tpu.align.pallas_banded import viterbi_align_banded
+                from khg_tpu.align.pallas_banded import (
+                    EXTERNAL_AC_PDFS,
+                    viterbi_align_banded,
+                )
 
                 banded, offsets, block_b, interpret = banded_args
-                res = viterbi_align_banded(
-                    banded, offsets, ll, lens, self.id2pdf,
-                    acoustic_scale=self.acoustic_scale,
-                    block_b=block_b, interpret=interpret,
-                )
+                P = int(self.id2pdf.max()) + 1
+                if P > EXTERNAL_AC_PDFS:
+                    # wide (triphone-scale) models: score ONLY each graph
+                    # state's pdf — O(S) not O(P) scoring work (the stats
+                    # GEMMs recompute assigned-pdf posteriors themselves)
+                    from khg_tpu.gmm.likelihoods import loglikes_per_state
+
+                    sac = loglikes_per_state(
+                        model.gconsts, model.means_invvars,
+                        model.inv_vars, banded.state_pdf, bfeats,
+                    )
+                    res = viterbi_align_banded(
+                        banded, offsets, None, lens, self.id2pdf,
+                        acoustic_scale=self.acoustic_scale,
+                        block_b=block_b, interpret=interpret, sac=sac,
+                    )
+                else:
+                    res = viterbi_align_banded(
+                        banded, offsets, self._loglikes(model, bfeats),
+                        lens, self.id2pdf,
+                        acoustic_scale=self.acoustic_scale,
+                        block_b=block_b, interpret=interpret,
+                    )
             else:
                 res = viterbi_align_batch(
-                    graphs, ll, lens, self.id2pdf,
+                    graphs, self._loglikes(model, bfeats), lens,
+                    self.id2pdf,
                     acoustic_scale=self.acoustic_scale,
                     state_pdf=state_pdf,
                 )

@@ -340,3 +340,101 @@ def test_pallas_banded_external_ac_matches(setup):  # noqa: F811
         np.asarray(a.total_cost), np.asarray(b.total_cost), rtol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(a.failed), np.asarray(b.failed))
+
+
+def test_per_state_scoring_sac_mode(setup):  # noqa: F811
+    """loglikes_per_state + sac-mode banded Viterbi: same alignments as
+    full-P scoring — the O(S) triphone scoring path never computes the
+    P-S pdfs outside the graph."""
+    from khg_tpu.align.pallas_banded import viterbi_align_banded
+    from khg_tpu.gmm.likelihoods import loglikes_per_state
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    id2pdf = tm.id2pdf_array()
+    words = [
+        [lp.word2id["YES"], lp.word2id["NO"]],
+        [lp.word2id["NO"]],
+    ]
+    lens = [22, 11]
+    graphs, arrays, ll, nf, id2pdf = _problem(setup, lens, words)
+    ren, _ = band_renumber(arrays)
+    sp = uniform_dest_pdf(ren)
+    out = pack_banded(ren, sp)
+    assert out is not None
+    banded, offsets = out
+
+    pm = am.pack()
+    feats = None  # rebuilt below from the same rng draw is impossible;
+    # instead derive sac by exact select from ll (the identity
+    # loglikes_per_state must satisfy) and ALSO check the kernel output
+    sac_select = np.take_along_axis(
+        np.asarray(ll), np.asarray(banded.state_pdf)[:, None, :], axis=2
+    )
+    kw = dict(acoustic_scale=0.5, block_b=2, time_chunk=16, interpret=True)
+    a = viterbi_align_banded(banded, offsets, ll, nf, id2pdf, **kw)
+    b = viterbi_align_banded(
+        banded, offsets, None, nf, id2pdf, sac=sac_select, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(b.tids))
+    np.testing.assert_allclose(
+        np.asarray(a.total_cost), np.asarray(b.total_cost), rtol=1e-6
+    )
+
+
+def test_loglikes_per_state_matches_full(setup):  # noqa: F811
+    from khg_tpu.gmm.likelihoods import loglikes, loglikes_per_state
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    pm = am.pack()
+    B, T, D = 3, 9, 6
+    feats = rng.standard_normal((B, T, D)).astype(np.float32)
+    S = 7
+    state_pdf = rng.integers(0, am.num_pdfs, size=(B, S)).astype(np.int32)
+    full = np.asarray(loglikes(pm.gconsts, pm.means_invvars, pm.inv_vars, feats))
+    per_state = np.asarray(loglikes_per_state(
+        pm.gconsts, pm.means_invvars, pm.inv_vars, state_pdf, feats
+    ))
+    want = np.take_along_axis(full, state_pdf[:, None, :], axis=2)
+    np.testing.assert_allclose(per_state, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_per_state_path_matches_xla(setup, monkeypatch):  # noqa: F811
+    """Force the wide-model (per-state scoring + sac banded) pipeline
+    path at monophone scale and check it aligns identically to the XLA
+    backend — the path triphone systems take by default."""
+    import khg_tpu.align.pallas_banded as pb
+    from khg_tpu.recipes.pipeline import EStepPipeline
+    from khg_tpu.stats.accum import AccumAmDiagGmm
+
+    monkeypatch.setattr(pb, "EXTERNAL_AC_PDFS", 1)  # everything is "wide"
+
+    lp, topo, tree, tm, gc, am, rng = setup
+    words = [
+        [lp.word2id["YES"], lp.word2id["NO"]],
+        [lp.word2id["NO"]],
+        [lp.word2id["YES"]],
+    ]
+    feats = [rng.standard_normal((t, 6)).astype(np.float32)
+             for t in (25, 14, 18)]
+    graphs_fst = [aligned_graph(gc, tm, w) for w in words]
+
+    results = {}
+    for backend in ("banded", "xla"):
+        pipeline = EStepPipeline(
+            tm, acoustic_scale=0.6, align_backend=backend
+        )
+        packed = pipeline.pack_graphs_base(graphs_fst)
+        cur = pipeline.refresh_transition_costs(packed)
+        accs = AccumAmDiagGmm()
+        accs.init(am, flags=0b1111)
+        res = pipeline.align_and_accumulate(am, cur, feats, accs)
+        results[backend] = (res, accs)
+    a, acc_a = results["banded"]
+    b, acc_b = results["xla"]
+    assert a.num_done == b.num_done == 3
+    assert a.alignments == b.alignments
+    assert abs(a.tot_like - b.tot_like) < 1e-3
+    for p in range(am.num_pdfs):
+        np.testing.assert_allclose(
+            acc_a.accs[p].occupancy, acc_b.accs[p].occupancy, atol=1e-3
+        )
