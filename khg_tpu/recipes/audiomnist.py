@@ -81,6 +81,89 @@ def make_synthetic_digits_corpus(
     return lp, SyntheticCorpus(word_seqs, feats, phone_alis)
 
 
+def write_audiomnist_corpus(
+    wav_dir,
+    num_utts: int = 40,
+    min_words: int = 3,
+    max_words: int = 7,
+    seed: int = 7,
+):
+    """Synthesize a spoken-digit WAV corpus (see recipes/synth.py).
+
+    File names encode the digit sequence (3_1_4.wav -> THREE ONE FOUR),
+    so transcripts come from the directory listing alone — the same
+    convention as the waveform yesno corpus.
+    """
+    from pathlib import Path
+
+    from khg_tpu.data.wav import write_wav
+    from khg_tpu.recipes.synth import SAMPLE_RATE, synthesize_word_sequence
+
+    wav_dir = Path(wav_dir)
+    wav_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    seen = set()
+    while len(paths) < num_utts:
+        n = int(rng.integers(min_words, max_words + 1))
+        digits = tuple(int(rng.integers(10)) for _ in range(n))
+        if digits in seen:
+            continue
+        seen.add(digits)
+        words = [DIGITS[d] for d in digits]
+        wave = synthesize_word_sequence(words, rng, SAMPLE_RATE)
+        p = wav_dir / ("_".join(str(d) for d in digits) + ".wav")
+        write_wav(p, wave, SAMPLE_RATE)
+        paths.append(p)
+    return sorted(paths)
+
+
+def load_audiomnist_corpus(wav_dir):
+    """Scan a digit-waves directory; transcripts from the filenames."""
+    from pathlib import Path
+
+    from khg_tpu.recipes.yesno_wav import WavCorpus
+
+    paths = sorted(Path(wav_dir).glob("*.wav"))
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    utt_ids, word_seqs = [], []
+    for p in paths:
+        utt_ids.append(p.stem)
+        word_seqs.append([DIGITS[int(d)] for d in p.stem.split("_")])
+    return WavCorpus(utt_ids, list(paths), word_seqs, [])
+
+
+def train_audiomnist_wav(
+    wav_dir,
+    num_iters: int = 20,
+    total_gauss: int = 600,
+    num_mel_bins: int = 23,
+    seed: int = 0,
+) -> TrainResult:
+    """Flat-start monophone EM from WAV files on disk (real-audio path:
+    data/wav.py reader -> features/fbank.py -> batched device EM)."""
+    from khg_tpu.features.fbank import FbankConfig
+    from khg_tpu.recipes.synth import SAMPLE_RATE
+    from khg_tpu.recipes.yesno_wav import extract_features
+
+    corpus = load_audiomnist_corpus(wav_dir)
+    cfg = FbankConfig(sample_rate=SAMPLE_RATE, num_mel_bins=num_mel_bins)
+    corpus = extract_features(corpus, cfg)
+    lp = Lexiconp.from_lexicon(
+        Lexicon(word2phones=digits_lexicon())
+    ).add_lex_disambig()
+    train_corpus = SyntheticCorpus(
+        word_seqs=corpus.word_seqs, feats=corpus.feats, phone_alignments=[]
+    )
+    return train_yesno(
+        lp, train_corpus,
+        num_iters=num_iters,
+        total_gauss=total_gauss,
+        seed=seed,
+    )
+
+
 def train_audiomnist(
     num_utts: int = 40,
     num_iters: int = 20,
