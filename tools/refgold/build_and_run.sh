@@ -42,3 +42,14 @@ python tools/refgold/make_align_problem.py tests/golden/align_problem.txt
   > tests/golden/align_golden.txt
 cat tests/golden/align_golden.txt
 ls -la tests/golden/
+
+# lattice parity: reference LatticeFasterDecoderTpl over a khg_tpu HCLG
+g++ -O2 -std=c++17 -Dint32=int32_t \
+  -I"$REF" -Itools/refgold/include \
+  tools/refgold/lattice_runner.cc \
+  "$REF/kaldi-hmm-gmm/csrc/lattice-faster-decoder.cc" \
+  -o "$OUT/lattice_runner"
+python tools/refgold/make_lattice_problem.py tests/golden/lattice_problem.txt
+"$OUT/lattice_runner" tests/golden/lattice_problem.txt \
+  > tests/golden/lattice_golden.txt
+cat tests/golden/lattice_golden.txt

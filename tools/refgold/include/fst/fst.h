@@ -8,6 +8,7 @@
 
 #include <cstdint>
 #include <limits>
+#include <string>
 #include <vector>
 
 namespace fst {
@@ -56,6 +57,13 @@ class Fst {
   virtual StateId Start() const = 0;
   virtual Weight Final(StateId s) const = 0;
   virtual const std::vector<Arc> &ArcsOf(StateId s) const = 0;
+  virtual std::string Type() const { return "vector"; }
+  int NumInputEpsilons(StateId s) const {
+    int n = 0;
+    for (const Arc &a : ArcsOf(s))
+      if (a.ilabel == 0) ++n;
+    return n;
+  }
 };
 
 template <class F>
@@ -122,6 +130,48 @@ class VectorFst : public MutableFst<A> {
   std::vector<std::vector<Arc>> arcs_;
   std::vector<Weight> finals_;
   StateId start_ = kNoStateId;
+};
+
+// Distinct type so the reference's explicit template instantiations for
+// VectorFst and ConstFst do not collide; behaviorally identical here.
+template <class A>
+class ConstFst : public VectorFst<A> {
+ public:
+  std::string Type() const override { return "const"; }
+};
+
+using StdFst = Fst<StdArc>;
+
+constexpr float kDelta = 1.0f / 1024.0f;
+
+// Placement-new object pool with the OpenFST MemoryPool surface
+// (Allocate returns raw storage; Free recycles it; destructors are the
+// owner's business, matching the reference's usage).
+template <class T>
+class MemoryPool {
+ public:
+  explicit MemoryPool(int block_size = 256) { (void)block_size; }
+  ~MemoryPool() {
+    for (void *p : all_) ::operator delete(p);
+  }
+  void *Allocate() {
+    if (!free_.empty()) {
+      void *p = free_.back();
+      free_.pop_back();
+      return p;
+    }
+    void *p = ::operator new(sizeof(T));
+    all_.push_back(p);
+    return p;
+  }
+  void Free(T *p) {
+    p->~T();
+    free_.push_back(p);
+  }
+
+ private:
+  std::vector<void *> all_;
+  std::vector<void *> free_;
 };
 
 }  // namespace fst
