@@ -111,7 +111,11 @@ class FasterDecoder:
             max_active_cutoff = float(np.partition(costs, k - 1)[k - 1])
             if max_active_cutoff < beam_cutoff:
                 beam_cutoff = max_active_cutoff
-        if opts.min_active > 0 and len(costs) > opts.min_active:
+        if opts.min_active > 0:
+            if len(costs) <= opts.min_active:
+                # active <= min_active: keep everything (GetCutoff
+                # returns +inf in this case, faster-decoder.cc:243-335)
+                return INF, best
             k = opts.min_active
             min_active_cutoff = float(np.partition(costs, k - 1)[k - 1])
             if min_active_cutoff > beam_cutoff:

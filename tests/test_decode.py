@@ -128,3 +128,25 @@ def test_recover_words_roundtrip(trained_and_graph):
     dense = decode_dense(hclg, ll, id2pdf, acoustic_scale=2.0)
     tids, words, cost = dense
     assert recover_words(hclg, tids) == words
+
+
+def test_faster_decoder_min_active_rescues_narrow_beam(trained_and_graph):
+    """GetCutoff semantics (faster-decoder.cc:243-335): with active <=
+    min_active nothing is pruned, so a huge min_active makes even a
+    hopeless beam exact."""
+    import math
+
+    lp, corpus, result, hclg = trained_and_graph
+    tm = result.transition_model
+    id2pdf = tm.id2pdf_array()
+    packed = result.am.pack()
+    ll = loglikes_np(packed, corpus.feats[0])
+    wide = FasterDecoder(
+        hclg, FasterDecoderOptions(beam=100.0, min_active=0)
+    ).decode(ll, id2pdf, acoustic_scale=2.0)
+    rescued = FasterDecoder(
+        hclg, FasterDecoderOptions(beam=0.01, min_active=10**6)
+    ).decode(ll, id2pdf, acoustic_scale=2.0)
+    assert wide is not None and rescued is not None
+    assert math.isclose(rescued[2], wide[2], rel_tol=1e-6)
+    assert rescued[0] == wide[0]
