@@ -72,11 +72,16 @@ class FasterDecoder:
         toks = {fst.start: _Token(0.0, 0.0, None, 0, 0)}
         toks = self._process_nonemitting(toks, INF)
         for t in range(T):
-            toks = self._process_emitting(toks, ac[t], id2pdf, num_tids)
+            toks, next_cutoff = self._process_emitting(
+                toks, ac[t], id2pdf, num_tids
+            )
             if not toks:
                 return None
-            best = min(tok.cost for tok in toks.values())
-            toks = self._process_nonemitting(toks, best + self.opts.beam)
+            # epsilon closure under the EMITTING stage's cutoff, which
+            # embodies the adaptive beam (ProcessNonemitting receives
+            # ProcessEmitting's cutoff in the reference,
+            # faster-decoder.cc:120-152)
+            toks = self._process_nonemitting(toks, next_cutoff)
         # pick best final
         best_tok = None
         best_cost = INF
@@ -100,8 +105,11 @@ class FasterDecoder:
 
     # ------------------------------------------------------------ internals
 
-    def _get_cutoff(self, toks) -> Tuple[float, float]:
-        """(cutoff, best_cost) applying beam and max/min_active."""
+    def _get_cutoff(self, toks) -> Tuple[float, float, float]:
+        """(cutoff, best_cost, adaptive_beam): GetCutoff semantics
+        (faster-decoder.cc:243-335).  The adaptive beam propagates a
+        max/min_active-adjusted width into the NEXT frame's pruning, so
+        e.g. a huge min_active keeps decoding exact under any beam."""
         opts = self.opts
         costs = np.array([tok.cost for tok in toks.values()])
         best = float(costs.min())
@@ -109,22 +117,27 @@ class FasterDecoder:
         if opts.max_active < len(costs):
             k = opts.max_active
             max_active_cutoff = float(np.partition(costs, k - 1)[k - 1])
-            if max_active_cutoff < beam_cutoff:
-                beam_cutoff = max_active_cutoff
+            if max_active_cutoff < beam_cutoff:  # max_active is tighter
+                return (
+                    max_active_cutoff, best,
+                    max_active_cutoff - best + opts.beam_delta,
+                )
         if opts.min_active > 0:
             if len(costs) <= opts.min_active:
-                # active <= min_active: keep everything (GetCutoff
-                # returns +inf in this case, faster-decoder.cc:243-335)
-                return INF, best
+                # active <= min_active: keep everything, next frame too
+                return INF, best, INF
             k = opts.min_active
             min_active_cutoff = float(np.partition(costs, k - 1)[k - 1])
-            if min_active_cutoff > beam_cutoff:
-                beam_cutoff = min_active_cutoff
-        return beam_cutoff, best
+            if min_active_cutoff > beam_cutoff:  # min_active is looser
+                return (
+                    min_active_cutoff, best,
+                    min_active_cutoff - best + opts.beam_delta,
+                )
+        return beam_cutoff, best, opts.beam
 
     def _process_emitting(self, toks, ac_t, id2pdf, num_tids):
         fst = self.fst
-        cutoff, best = self._get_cutoff(toks)
+        cutoff, best, adaptive_beam = self._get_cutoff(toks)
         new_toks = {}
         next_cutoff = INF
         for s, tok in toks.items():
@@ -137,8 +150,8 @@ class FasterDecoder:
                 cost = tok.cost + a.weight + float(ac_t[id2pdf[a.ilabel]])
                 if cost >= next_cutoff:
                     continue
-                if cost + self.opts.beam < next_cutoff:
-                    next_cutoff = cost + self.opts.beam
+                if cost + adaptive_beam < next_cutoff:
+                    next_cutoff = cost + adaptive_beam
                 cur = new_toks.get(a.nextstate)
                 if cur is None or cost < cur.cost:
                     new_toks[a.nextstate] = _Token(
@@ -148,7 +161,7 @@ class FasterDecoder:
                         a.ilabel,
                         a.olabel,
                     )
-        return new_toks
+        return new_toks, next_cutoff
 
     def _process_nonemitting(self, toks, cutoff):
         fst = self.fst
