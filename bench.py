@@ -278,7 +278,12 @@ def run_corpus_em(num_utts=1024, frames=500, dim=80, passes=3):
         accs = AccumAmDiagGmm()
         accs.init(am, flags=0b1111)
         tacc = tm.init_stats()
-        res = pipeline.align_and_accumulate(am, packed, feats, accs, tacc)
+        res = pipeline.align_and_accumulate(
+            am, packed, feats, accs, tacc,
+            # stats-only EM pass: stats fold into a device-resident
+            # carry, ONE device->host fetch for the whole pass
+            return_alignments=False,
+        )
         assert res.num_done == num_utts, res.num_error
 
     one_pass()  # compile + warm caches

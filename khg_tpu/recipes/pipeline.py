@@ -146,6 +146,152 @@ def _unpack_stats(flat: np.ndarray, P: int, K: int, D: int):
     return occ, mean_acc, var_acc, float(tot_log_like), float(tot_frames)
 
 
+# ------------------------------------------------------- device-side carry
+#
+# Per-batch D2H fetches cost a full RTT each on tunneled backends, and an
+# EM pass makes one per batch.  The carry mode instead folds every batch's
+# stats into a device-resident running sum and fetches ONCE per pass.
+# Cross-batch summation is Kahan-compensated in f32 (two jnp vectors), so
+# dropping the host's per-batch f64 accumulation loses no precision that
+# matters: within-batch sums are the same f32 GEMMs either way, and the
+# compensated cross-batch sum carries ~2^48 of effective integer range
+# (vs f32's 2^24) — far beyond any realistic pass size.
+#
+# Carry layout (one flat f32 vector):
+#   [occ (P*K), mean_acc (P*K*D), var_acc (P*K*D), tot_log_like, tot_frames,
+#    tid_counts (num_tids+1), like_sum, num_done, num_error, frame_count]
+
+
+def _carry_width(P: int, K: int, D: int, num_tids: int) -> int:
+    return P * K * (2 * D + 1) + 2 + (num_tids + 1) + 4
+
+
+def _kahan_add(carry, comp, x):
+    """One compensated-summation step; returns (carry', comp')."""
+    y = x - comp
+    t = carry + y
+    return t, (t - carry) - y
+
+
+def _hard_stats_carry(
+    gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
+    carry, comp,
+):
+    """Fold one aligned batch's stats into the device carry (no fetch)."""
+    import jax
+
+    global _hard_carry_jit
+    if _hard_carry_jit is None:
+
+        def f(gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf,
+              total_cost, carry, comp):
+            import jax.numpy as jnp
+
+            T = bfeats.shape[1]
+            ok = ~failed
+            fw = (
+                (jnp.arange(T)[None, :] < lens[:, None]) & ok[:, None]
+            ).astype(jnp.float32)
+            s = accumulate_am_stats(
+                gconsts, miv, iv, bfeats, id2pdf[tids], fw
+            )
+            # transition counts on device: scatter-add of frame weights
+            # over tids (tid 0 = padding/eps — zero it explicitly)
+            counts = (
+                jnp.zeros(id2pdf.shape[0], jnp.float32)
+                .at[tids]
+                .add(fw)
+                .at[0]
+                .set(0.0)
+            )
+            okf = ok.astype(jnp.float32)
+            x = jnp.concatenate(
+                [
+                    s.occ.ravel(),
+                    s.mean_acc.ravel(),
+                    s.var_acc.ravel(),
+                    s.tot_log_like[None],
+                    s.tot_frames[None],
+                    counts,
+                    jnp.sum(-total_cost * okf)[None],
+                    jnp.sum(okf)[None],
+                    jnp.sum(failed.astype(jnp.float32))[None],
+                    jnp.sum(lens.astype(jnp.float32) * okf)[None],
+                ]
+            )
+            return _kahan_add(carry, comp, x)
+
+        _hard_carry_jit = jax.jit(f, donate_argnums=(9, 10))
+    return _hard_carry_jit(
+        gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
+        carry, comp,
+    )
+
+
+_hard_carry_jit = None
+
+
+def _soft_stats_carry(gconsts, miv, iv, bfeats, fb, carry, comp):
+    """Fold one forward-backward batch's soft stats into the carry."""
+    import jax
+
+    global _soft_carry_jit
+    if _soft_carry_jit is None:
+
+        def f(gconsts, miv, iv, bfeats, log_z, gamma, tid_counts, failed,
+              carry, comp):
+            import jax.numpy as jnp
+
+            from khg_tpu.stats.accum import accumulate_am_stats_soft
+
+            ok = ~failed
+            gamma = jnp.where(ok[:, None, None], gamma, 0.0)
+            s = accumulate_am_stats_soft(gconsts, miv, iv, bfeats, gamma)
+            counts = jnp.sum(
+                jnp.where(ok[:, None], tid_counts, 0.0), axis=0
+            )
+            okf = ok.astype(jnp.float32)
+            x = jnp.concatenate(
+                [
+                    s.occ.ravel(),
+                    s.mean_acc.ravel(),
+                    s.var_acc.ravel(),
+                    s.tot_log_like[None],
+                    s.tot_frames[None],
+                    counts,
+                    jnp.sum(jnp.where(ok, log_z, 0.0))[None],
+                    jnp.sum(okf)[None],
+                    jnp.sum(failed.astype(jnp.float32))[None],
+                    jnp.zeros((1,), jnp.float32),
+                ]
+            )
+            return _kahan_add(carry, comp, x)
+
+        _soft_carry_jit = jax.jit(f, donate_argnums=(8, 9))
+    return _soft_carry_jit(
+        gconsts, miv, iv, bfeats, fb.log_z, fb.gamma, fb.tid_counts,
+        fb.failed, carry, comp,
+    )
+
+
+_soft_carry_jit = None
+
+
+def _unpack_carry(flat: np.ndarray, P: int, K: int, D: int, num_tids: int):
+    """Host-side inverse of the carry layout (see module comment)."""
+    base = P * K * (2 * D + 1) + 2
+    occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
+        flat[:base], P, K, D
+    )
+    counts = flat[base : base + num_tids + 1].astype(np.float64)
+    like_sum, num_done, num_error, frame_count = flat[base + num_tids + 1 :]
+    return (
+        occ, mean_acc, var_acc, tot_ll, tot_frames, counts,
+        float(like_sum), int(round(float(num_done))),
+        int(round(float(num_error))), int(round(float(frame_count))),
+    )
+
+
 def _start_host_copies(arrays) -> None:
     """Kick off async device->host copies; best-effort (the fetch in
     drain() is correct without it, this just overlaps the transfers
@@ -159,9 +305,13 @@ def _start_host_copies(arrays) -> None:
 
 @dataclass
 class AlignmentResult:
-    """Host-side alignment outcome for a batch of utterances."""
+    """Host-side alignment outcome for a batch of utterances.
 
-    alignments: List[Optional[List[int]]]  # per utt tid sequence (None = failed)
+    ``alignments`` is None when the pass ran with
+    ``return_alignments=False`` (stats-only carry mode — the tid
+    sequences never leave the device)."""
+
+    alignments: Optional[List[Optional[List[int]]]]  # per utt tids (None = failed)
     tot_like: float  # sum over utts of -(graph+acoustic)/acoustic_scale
     num_done: int
     num_error: int
@@ -211,6 +361,7 @@ class EStepPipeline:
         self.indeg_pad = indeg_pad_multiple
         self.mix_pad = mix_pad_multiple
         self.id2pdf = transition_model.id2pdf_array()
+        self._id2pdf_device = None
         from khg_tpu.utils.profiling import Counters
 
         self.counters = Counters()
@@ -229,6 +380,37 @@ class EStepPipeline:
         # uploading ~7 MB of plane tables per batch per pass costs more
         # than the aligned kernel itself (~95 ms vs ~17 ms measured)
         self._banded_args_cache = collections.OrderedDict()
+        # identity-keyed front cache over (pack_graph_batch +
+        # _try_pack_banded): a pass over an unchanged packed-graph list
+        # (no refresh_transition_costs) skips the batch stacking AND the
+        # bytes hashing entirely.  Values pin the PackedGraph objects so
+        # the id()-based keys cannot be reused by the allocator.
+        self._batch_graph_cache = collections.OrderedDict()
+
+    def _pack_model(self, am):
+        """Pack the model and park its tensors on the device ONCE per
+        E-step pass.  Host numpy arrays passed to jitted calls re-upload
+        on EVERY call (3+ calls per batch — ~0.5 MB each through the
+        tunnel); device arrays transfer once here."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        m = am.pack(mix_pad_to=self.mix_pad)
+        return dataclasses.replace(
+            m,
+            gconsts=jnp.asarray(m.gconsts),
+            means_invvars=jnp.asarray(m.means_invvars),
+            inv_vars=jnp.asarray(m.inv_vars),
+        )
+
+    def _id2pdf_dev(self):
+        """Device-resident copy of the tid->pdf table (uploaded once)."""
+        if self._id2pdf_device is None:
+            import jax.numpy as jnp
+
+            self._id2pdf_device = jnp.asarray(self.id2pdf)
+        return self._id2pdf_device
 
     def _pipelined(self, batches, dispatch, drain, max_in_flight):
         """Run dispatch over batches with up to max_in_flight undrained,
@@ -296,6 +478,45 @@ class EStepPipeline:
             model.gconsts, model.means_invvars, model.inv_vars, bfeats,
             compute_dtype=dtype,
         )
+
+    def _batch_graphs(self, idx, packed_graphs, bt, fb: bool = False):
+        """Batched (and, when enabled, banded) graph tables for these
+        utterances, front-cached on the PackedGraph objects' identity.
+
+        Returns (graphs, banded_args, state_pdf) where state_pdf is the
+        uniform-destination-pdf table for the XLA path (None when the
+        banded tables are used or the graphs are not dest-uniform).
+        A hit skips the batch stacking and the bytes-key hashing of the
+        inner banded cache — measurable host time per batch per EM pass.
+        Do not mutate PackedGraphs in place between passes (refresh via
+        refresh_transition_costs creates new objects, which miss here
+        and re-key correctly)."""
+        key = (
+            fb, bt, self.states_pad, self.indeg_pad,
+            tuple(id(packed_graphs[i]) for i in idx),
+        )
+        hit = self._batch_graph_cache.get(key)
+        if hit is not None:
+            self._batch_graph_cache.move_to_end(key)
+            return hit[0], hit[1], hit[2]
+        graphs = pack_graph_batch(
+            [packed_graphs[i] for i in idx],
+            states_pad_to=self.states_pad,
+            indeg_pad_to=self.indeg_pad,
+            semiring="log" if fb else "tropical",
+        )
+        banded_args = (
+            self._try_pack_banded(graphs, bt, fb=fb)
+            if self.align_backend == "banded" else None
+        )
+        state_pdf = None if banded_args else uniform_dest_pdf(graphs)
+        self._batch_graph_cache[key] = (
+            graphs, banded_args, state_pdf,
+            [packed_graphs[i] for i in idx],  # pin: id()s stay unique
+        )
+        while len(self._batch_graph_cache) > 32:
+            self._batch_graph_cache.popitem(last=False)
+        return graphs, banded_args, state_pdf
 
     def _try_pack_banded(self, graphs, frames, fb: bool = False):
         """Banded tables for this batch, or None to use the XLA path.
@@ -449,6 +670,109 @@ class EStepPipeline:
 
     # -------------------------------------------------------------- e-step
 
+    def _align_batch(self, model, idx, packed_graphs, feats):
+        """Dispatch one batch's Viterbi alignment to the device.
+
+        Picks the backend per batch: banded Pallas kernel when the
+        graphs fit a band (per-state O(S) scoring for wide models,
+        external-acoustic or in-kernel select otherwise), XLA one-hot
+        scan when they do not.  Returns (res, bfeats, lens)."""
+        bfeats, lens, bt = self._batch_feats(idx, feats)
+        graphs, banded_args, state_pdf = self._batch_graphs(
+            idx, packed_graphs, bt
+        )
+        if banded_args:
+            from khg_tpu.align.pallas_banded import (
+                EXTERNAL_AC_PDFS,
+                viterbi_align_banded,
+            )
+
+            banded, offsets, block_b, interpret = banded_args
+            P = int(self.id2pdf.max()) + 1
+            if P > EXTERNAL_AC_PDFS:
+                # wide (triphone-scale) models: score ONLY each graph
+                # state's pdf — O(S) not O(P) scoring work (the stats
+                # GEMMs recompute assigned-pdf posteriors themselves)
+                from khg_tpu.gmm.likelihoods import loglikes_per_state
+
+                sac = loglikes_per_state(
+                    model.gconsts, model.means_invvars,
+                    model.inv_vars, banded.state_pdf, bfeats,
+                )
+                res = viterbi_align_banded(
+                    banded, offsets, None, lens, self._id2pdf_dev(),
+                    acoustic_scale=self.acoustic_scale,
+                    block_b=block_b, interpret=interpret, sac=sac,
+                )
+            else:
+                res = viterbi_align_banded(
+                    banded, offsets, self._loglikes(model, bfeats),
+                    lens, self._id2pdf_dev(),
+                    acoustic_scale=self.acoustic_scale,
+                    block_b=block_b, interpret=interpret,
+                )
+        else:
+            res = viterbi_align_batch(
+                graphs, self._loglikes(model, bfeats), lens,
+                self._id2pdf_dev(),
+                acoustic_scale=self.acoustic_scale,
+                state_pdf=state_pdf,
+            )
+        return res, bfeats, lens
+
+    def _align_accumulate_carry(
+        self, model, packed_graphs, feats, gmm_accs, transition_accs,
+    ) -> AlignmentResult:
+        """Stats-only E-step: align every batch and fold its stats into
+        a device-resident compensated carry; ONE fetch for the whole
+        pass (see align_and_accumulate's docstring)."""
+        import jax
+        import jax.numpy as jnp
+
+        P, K = model.gconsts.shape
+        D = model.means_invvars.shape[-1]
+        num_tids = self.tm.num_transition_ids
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        width = _carry_width(P, K, D, num_tids)
+        carry = jnp.zeros(width, jnp.float32)
+        comp = jnp.zeros(width, jnp.float32)
+
+        total_frames = sum(f.shape[0] for f in feats)
+        with self.counters.phase("align", frames=total_frames):
+            for k, lo in enumerate(range(0, n, self.batch_size)):
+                idx = order[lo : lo + self.batch_size]
+                res, bfeats, lens = self._align_batch(
+                    model, idx, packed_graphs, feats
+                )
+                carry, comp = _hard_stats_carry(
+                    model.gconsts, model.means_invvars, model.inv_vars,
+                    bfeats, res.tids, lens, res.failed, self._id2pdf_dev(),
+                    res.total_cost, carry, comp,
+                )
+                if k % 128 == 127:
+                    # bound the async dispatch queue (one RTT per 128
+                    # batches; keeps host-side buffers from piling up on
+                    # very large corpora)
+                    jax.device_get(carry[-1])
+            flat = np.asarray(jax.device_get(carry), dtype=np.float64)
+        (
+            occ, mean_acc, var_acc, tot_ll, tot_frames, counts,
+            like_sum, num_done, num_error, frame_count,
+        ) = _unpack_carry(flat, P, K, D, num_tids)
+        if num_error:
+            logger.warning(
+                "Alignment failed for %d of %d utterances", num_error, n
+            )
+        if gmm_accs is not None:
+            gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
+        if transition_accs is not None:
+            transition_accs += counts
+        return AlignmentResult(
+            None, like_sum / self.acoustic_scale,
+            num_done, num_error, frame_count,
+        )
+
     def align_and_accumulate(
         self,
         am: AmDiagGmm,
@@ -458,6 +782,7 @@ class EStepPipeline:
         transition_accs: Optional[np.ndarray] = None,
         accumulate: bool = True,
         max_in_flight: int = 4,
+        return_alignments: bool = True,
     ) -> AlignmentResult:
         """Viterbi-align all utterances; optionally accumulate GMM and
         transition stats from the alignments (weight 1.0 per frame).
@@ -467,13 +792,20 @@ class EStepPipeline:
         packing and the (latency-heavy, ~100s of ms through a tunnel)
         device->host transfer overlap device compute.  Each batch's
         entire result — alignment, costs, AND the GMM stats, which are
-        reduced on device — comes back in ONE transfer."""
+        reduced on device — comes back in ONE transfer.
+
+        ``return_alignments=False`` (stats-only EM passes) goes further:
+        every batch's stats — GMM stats AND transition counts — fold
+        into a device-resident Kahan-compensated carry, and the whole
+        pass makes ONE device->host fetch at the end.  The tid
+        sequences never leave the device (``result.alignments`` is
+        None), so per-utterance failure logging degrades to a count."""
         assert len(packed_graphs) == len(feats)
         import collections
 
         import jax
 
-        model = am.pack(mix_pad_to=self.mix_pad)
+        model = self._pack_model(am)
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
         alignments: List[Optional[List[int]]] = [None] * n
@@ -482,61 +814,24 @@ class EStepPipeline:
         num_error = 0
         frame_count = 0
         do_gmm = accumulate and gmm_accs is not None
+        if not return_alignments:
+            assert accumulate, (
+                "return_alignments=False only makes sense when "
+                "accumulating: the alignments are the only other output"
+            )
+            return self._align_accumulate_carry(
+                model, packed_graphs, feats, gmm_accs, transition_accs,
+            )
 
         def dispatch(idx):
-            bfeats, lens, bt = self._batch_feats(idx, feats)
-            graphs = pack_graph_batch(
-                [packed_graphs[i] for i in idx],
-                states_pad_to=self.states_pad,
-                indeg_pad_to=self.indeg_pad,
+            res, bfeats, lens = self._align_batch(
+                model, idx, packed_graphs, feats
             )
-            banded_args = (
-                self._try_pack_banded(graphs, bt)
-                if self.align_backend == "banded" else None
-            )
-            state_pdf = None if banded_args else uniform_dest_pdf(graphs)
-            if banded_args:
-                from khg_tpu.align.pallas_banded import (
-                    EXTERNAL_AC_PDFS,
-                    viterbi_align_banded,
-                )
-
-                banded, offsets, block_b, interpret = banded_args
-                P = int(self.id2pdf.max()) + 1
-                if P > EXTERNAL_AC_PDFS:
-                    # wide (triphone-scale) models: score ONLY each graph
-                    # state's pdf — O(S) not O(P) scoring work (the stats
-                    # GEMMs recompute assigned-pdf posteriors themselves)
-                    from khg_tpu.gmm.likelihoods import loglikes_per_state
-
-                    sac = loglikes_per_state(
-                        model.gconsts, model.means_invvars,
-                        model.inv_vars, banded.state_pdf, bfeats,
-                    )
-                    res = viterbi_align_banded(
-                        banded, offsets, None, lens, self.id2pdf,
-                        acoustic_scale=self.acoustic_scale,
-                        block_b=block_b, interpret=interpret, sac=sac,
-                    )
-                else:
-                    res = viterbi_align_banded(
-                        banded, offsets, self._loglikes(model, bfeats),
-                        lens, self.id2pdf,
-                        acoustic_scale=self.acoustic_scale,
-                        block_b=block_b, interpret=interpret,
-                    )
-            else:
-                res = viterbi_align_batch(
-                    graphs, self._loglikes(model, bfeats), lens,
-                    self.id2pdf,
-                    acoustic_scale=self.acoustic_scale,
-                    state_pdf=state_pdf,
-                )
             if do_gmm:
                 # everything but the tids rides in ONE packed f32 buffer
                 flat = _hard_stats_device(
                     model.gconsts, model.means_invvars, model.inv_vars,
-                    bfeats, res.tids, lens, res.failed, self.id2pdf,
+                    bfeats, res.tids, lens, res.failed, self._id2pdf_dev(),
                     res.total_cost,
                 )
                 out = [res.tids, flat]
@@ -599,33 +894,32 @@ class EStepPipeline:
         """Soft E-step: Baum-Welch posteriors instead of a hard alignment.
 
         Returns the total data log-likelihood (sum of per-utterance log Z).
+
+        Stats-only by construction, so every batch folds into the
+        device-resident compensated carry and the whole pass makes one
+        device->host fetch (see align_and_accumulate's docstring).
         """
         from khg_tpu.align.forward_backward import forward_backward_batch
 
         assert len(packed_graphs) == len(feats)
-        import collections
-
         import jax
+        import jax.numpy as jnp
 
-        model = am.pack(mix_pad_to=self.mix_pad)
+        model = self._pack_model(am)
         P, K = model.gconsts.shape
         D = model.means_invvars.shape[-1]
         num_tids = self.tm.num_transition_ids
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
-        total_log_z = 0.0
+        width = _carry_width(P, K, D, num_tids)
+        carry = jnp.zeros(width, jnp.float32)
+        comp = jnp.zeros(width, jnp.float32)
 
-        def dispatch(idx):
+        def run_batch(idx):
             bfeats, lens, bt = self._batch_feats(idx, feats)
-            graphs = pack_graph_batch(
-                [packed_graphs[i] for i in idx],
-                states_pad_to=self.states_pad,
-                indeg_pad_to=self.indeg_pad,
-                semiring="log",  # sum-over-paths: parallel eps log-add
-            )
-            banded_args = (
-                self._try_pack_banded(graphs, bt, fb=True)
-                if self.align_backend == "banded" else None
+            # fb=True: sum-over-paths log semiring, parallel eps log-add
+            graphs, banded_args, sp = self._batch_graphs(
+                idx, packed_graphs, bt, fb=True
             )
             ll = self._loglikes(model, bfeats)
             if banded_args:
@@ -640,7 +934,6 @@ class EStepPipeline:
                     block_b=block_b, interpret=interpret,
                 )
             else:
-                sp = uniform_dest_pdf(graphs)
                 fb = forward_backward_batch(
                     graphs, ll, lens, num_tids,
                     acoustic_scale=self.acoustic_scale,
@@ -651,28 +944,29 @@ class EStepPipeline:
                         256 if sp is not None and bt > 1024 else None
                     ),
                 )
-            flat = _soft_stats_device(
+            return _soft_stats_carry(
                 model.gconsts, model.means_invvars, model.inv_vars,
-                bfeats, fb,
+                bfeats, fb, carry, comp,
             )
-            _start_host_copies([flat])
-            return len(idx), flat
 
-        def drain(job):
-            nonlocal total_log_z, transition_accs
-            B, flat = job
-            flat = jax.device_get(flat)
-            total_log_z += float(flat[:B].sum())  # failed already zeroed
-            counts = flat[2 * B : 2 * B + num_tids + 1]
-            occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
-                flat[2 * B + num_tids + 1:], P, K, D
+        for k, lo in enumerate(range(0, n, self.batch_size)):
+            carry, comp = run_batch(order[lo : lo + self.batch_size])
+            if k % 128 == 127:  # bound the async dispatch queue
+                jax.device_get(carry[-1])
+        flat = np.asarray(jax.device_get(carry), dtype=np.float64)
+        (
+            occ, mean_acc, var_acc, tot_ll, tot_frames, counts,
+            log_z_sum, num_done, num_error, _,
+        ) = _unpack_carry(flat, P, K, D, num_tids)
+        if num_error:
+            logger.warning(
+                "Forward-backward failed for %d of %d utterances",
+                num_error, n,
             )
-            gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
-            if transition_accs is not None:
-                transition_accs += counts
-
-        self._pipelined((order[lo : lo + self.batch_size] for lo in range(0, n, self.batch_size)), dispatch, drain, max_in_flight)
-        return total_log_z
+        gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
+        if transition_accs is not None:
+            transition_accs += counts
+        return log_z_sum
 
     def accumulate_from_alignments(
         self,
@@ -686,22 +980,25 @@ class EStepPipeline:
         """Stats from FIXED alignments (equal-align init / re-accumulation).
 
         Returns the total log-like.  Device path of gmm_acc_stats_ali.
-        Batches are pipelined with one packed fetch each (see
-        align_and_accumulate); transition stats come straight from the
-        host-side alignments (no device round-trip)."""
-        import collections
-
+        Every batch folds into the device-resident compensated carry —
+        ONE device->host fetch for the whole pass (see
+        align_and_accumulate's docstring); transition stats come
+        straight from the host-side alignments (exact f64, no device
+        round-trip)."""
         import jax
         import jax.numpy as jnp
 
-        model = am.pack(mix_pad_to=self.mix_pad)
+        model = self._pack_model(am)
         P, K = model.gconsts.shape
         D = model.means_invvars.shape[-1]
+        num_tids = self.tm.num_transition_ids
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
-        tot = 0.0
+        width = _carry_width(P, K, D, num_tids)
+        carry = jnp.zeros(width, jnp.float32)
+        comp = jnp.zeros(width, jnp.float32)
 
-        def dispatch(idx):
+        def run_batch(idx, carry, comp):
             nonlocal transition_accs
             bfeats, lens, bt = self._batch_feats(idx, feats)
             btids = np.zeros((len(idx), bt), dtype=np.int32)
@@ -714,23 +1011,24 @@ class EStepPipeline:
                     btids, lens, self.tm.num_transition_ids
                 )
             B = len(idx)
-            flat = _hard_stats_device(
+            return _hard_stats_carry(
                 model.gconsts, model.means_invvars, model.inv_vars,
                 bfeats, btids, jnp.asarray(lens),
-                jnp.zeros(B, dtype=bool), self.id2pdf,
-                jnp.zeros(B, dtype=jnp.float32),
+                jnp.zeros(B, dtype=bool), self._id2pdf_dev(),
+                jnp.zeros(B, dtype=jnp.float32), carry, comp,
             )
-            _start_host_copies([flat])
-            return B, flat
 
-        def drain(job):
-            nonlocal tot
-            B, flat = job
-            occ, mean_acc, var_acc, tot_ll, tot_frames = _unpack_stats(
-                jax.device_get(flat)[2 * B:], P, K, D
+        for k, lo in enumerate(range(0, n, self.batch_size)):
+            carry, comp = run_batch(
+                order[lo : lo + self.batch_size], carry, comp
             )
-            tot += tot_ll
-            gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
-
-        self._pipelined((order[lo : lo + self.batch_size] for lo in range(0, n, self.batch_size)), dispatch, drain, max_in_flight)
+            if k % 128 == 127:  # bound the async dispatch queue
+                jax.device_get(carry[-1])
+        flat = np.asarray(jax.device_get(carry), dtype=np.float64)
+        (
+            occ, mean_acc, var_acc, tot_ll, tot_frames,
+            _counts, _like, _done, _err, _fc,
+        ) = _unpack_carry(flat, P, K, D, num_tids)
+        gmm_accs.add_dense(occ, mean_acc, var_acc, tot_ll, tot_frames)
+        tot = tot_ll
         return tot

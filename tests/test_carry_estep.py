@@ -1,0 +1,123 @@
+"""Device-resident carry E-steps (one fetch per pass) must match the
+per-batch-fetch paths: same GMM stats, transition counts, and summary
+scalars.  Covers EStepPipeline.align_and_accumulate(return_alignments=
+False), whose stats ride a Kahan-compensated device carry."""
+
+import math
+
+import numpy as np
+import pytest
+
+from khg_tpu.est.flags import GMM_ALL
+from khg_tpu.recipes.pipeline import EStepPipeline
+from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+from khg_tpu.stats.accum import AccumAmDiagGmm
+
+
+@pytest.fixture(scope="module")
+def system():
+    rng = np.random.default_rng(11)
+    lp, corpus = make_synthetic_corpus(num_utts=7, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=3, total_gauss=22, max_iter_inc=2,
+        realign_iters="1 2",
+    )
+    return corpus, result
+
+
+def _accs_allclose(a, b, num_pdfs, rtol=2e-5, atol=1e-4):
+    for p in range(num_pdfs):
+        np.testing.assert_allclose(
+            a.get_acc(p).occupancy, b.get_acc(p).occupancy,
+            rtol=rtol, atol=atol,
+        )
+        np.testing.assert_allclose(
+            a.get_acc(p).mean_accumulator, b.get_acc(p).mean_accumulator,
+            rtol=rtol, atol=atol,
+        )
+        np.testing.assert_allclose(
+            a.get_acc(p).variance_accumulator,
+            b.get_acc(p).variance_accumulator,
+            rtol=rtol, atol=atol,
+        )
+
+
+@pytest.mark.parametrize("backend", ["xla", "banded"])
+def test_carry_align_matches_per_batch(system, backend):
+    corpus, result = system
+    am, tm = result.am, result.transition_model
+    # batch_size=2 forces several carry folds per pass
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+        align_backend=backend,
+    )
+    packed = pipeline.pack_graphs(result.graphs)
+
+    ref = AccumAmDiagGmm()
+    ref.init(am, flags=GMM_ALL)
+    ref_t = tm.init_stats()
+    ref_res = pipeline.align_and_accumulate(
+        am, packed, corpus.feats, ref, ref_t
+    )
+    assert ref_res.alignments is not None
+
+    car = AccumAmDiagGmm()
+    car.init(am, flags=GMM_ALL)
+    car_t = tm.init_stats()
+    res = pipeline.align_and_accumulate(
+        am, packed, corpus.feats, car, car_t, return_alignments=False
+    )
+    assert res.alignments is None
+    assert res.num_done == ref_res.num_done
+    assert res.num_error == ref_res.num_error
+    assert res.frame_count == ref_res.frame_count
+    assert math.isclose(res.tot_like, ref_res.tot_like, rel_tol=1e-5)
+    # transition counts are integer-valued sums of 0/1 frame weights:
+    # exact in both the f64 host path and the compensated device carry
+    np.testing.assert_allclose(car_t, ref_t, rtol=0, atol=1e-3)
+    _accs_allclose(car, ref, am.num_pdfs)
+    assert math.isclose(car.tot_count, ref.tot_count, rel_tol=1e-6)
+    assert math.isclose(
+        car.tot_log_like, ref.tot_log_like, rel_tol=1e-5, abs_tol=1e-3
+    )
+
+
+def test_carry_without_accumulate_rejected(system):
+    corpus, result = system
+    pipeline = EStepPipeline(
+        result.transition_model, acoustic_scale=1.0, self_loop_scale=0.1
+    )
+    packed = pipeline.pack_graphs(result.graphs)
+    with pytest.raises(AssertionError):
+        pipeline.align_and_accumulate(
+            result.am, packed, corpus.feats,
+            accumulate=False, return_alignments=False,
+        )
+
+
+def test_carry_small_batches_soft(system):
+    """accumulate_forward_backward now always runs on the carry; a
+    tiny batch size exercises many sequential compensated folds and the
+    result must match a single-batch pass."""
+    corpus, result = system
+    am, tm = result.am, result.transition_model
+
+    outs = {}
+    for bs in (2, 64):
+        pipeline = EStepPipeline(
+            tm, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=bs
+        )
+        packed = pipeline.pack_graphs(result.graphs)
+        accs = AccumAmDiagGmm()
+        accs.init(am, flags=GMM_ALL)
+        t_accs = tm.init_stats()
+        log_z = pipeline.accumulate_forward_backward(
+            am, packed, corpus.feats, accs, t_accs
+        )
+        outs[bs] = (log_z, accs, t_accs)
+
+    lz_a, acc_a, t_a = outs[2]
+    lz_b, acc_b, t_b = outs[64]
+    assert math.isclose(lz_a, lz_b, rel_tol=1e-5)
+    np.testing.assert_allclose(t_a, t_b, rtol=1e-4, atol=1e-3)
+    _accs_allclose(acc_a, acc_b, am.num_pdfs, rtol=1e-4, atol=1e-3)
