@@ -202,6 +202,7 @@ def extract_features(
     cfg: Optional[FbankConfig] = None,
     bucket_samples: int = 8000,
     use_pallas: Optional[bool] = None,
+    speed_perturb_factors: Optional[Sequence[float]] = None,
 ) -> WavCorpus:
     """Read every WAV and compute fbank, batched by length bucket.
 
@@ -211,6 +212,12 @@ def extract_features(
     to unbatched extraction while the number of distinct compiled
     shapes stays bounded.  On TPU the fused Pallas kernel is used;
     elsewhere the XLA GEMM path.
+
+    ``speed_perturb_factors`` (e.g. ``(0.9, 1.0, 1.1)``) expands the
+    corpus lhotse-style — one speed-perturbed copy per factor, ids
+    suffixed ``_sp<factor>`` — before extraction, as the reference's
+    training recipe does (compute_fbank_yesno.py:68).  Returns a NEW
+    WavCorpus in that case.
     """
     import jax
 
@@ -229,6 +236,23 @@ def extract_features(
                 f"{p}: rate {rate} != fbank config {cfg.sample_rate}"
             )
         waves.append(w)
+
+    if speed_perturb_factors:
+        from khg_tpu.features.resample import speed_perturb_corpus
+
+        waves, src = speed_perturb_corpus(
+            waves, cfg.sample_rate, factors=speed_perturb_factors
+        )
+        utt_ids = []
+        for f in speed_perturb_factors:
+            for uid in corpus.utt_ids:
+                utt_ids.append(uid if f == 1.0 else f"{uid}_sp{f:g}")
+        corpus = WavCorpus(
+            utt_ids=utt_ids,
+            wav_paths=[corpus.wav_paths[i] for i in src],
+            word_seqs=[list(corpus.word_seqs[i]) for i in src],
+            feats=[],
+        )
 
     buckets = {}
     for i, w in enumerate(waves):
