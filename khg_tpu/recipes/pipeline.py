@@ -173,6 +173,48 @@ def _kahan_add(carry, comp, x):
     return t, (t - carry) - y
 
 
+def _carry_fold(
+    gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
+    carry, comp,
+):
+    """Traceable: fold one aligned batch's stats into the carry.
+
+    Shared by _hard_stats_carry and the fused per-batch E-step jits."""
+    import jax.numpy as jnp
+
+    T = bfeats.shape[1]
+    ok = ~failed
+    fw = (
+        (jnp.arange(T)[None, :] < lens[:, None]) & ok[:, None]
+    ).astype(jnp.float32)
+    s = accumulate_am_stats(gconsts, miv, iv, bfeats, id2pdf[tids], fw)
+    # transition counts on device: scatter-add of frame weights over
+    # tids (tid 0 = padding/eps — zero it explicitly)
+    counts = (
+        jnp.zeros(id2pdf.shape[0], jnp.float32)
+        .at[tids]
+        .add(fw)
+        .at[0]
+        .set(0.0)
+    )
+    okf = ok.astype(jnp.float32)
+    x = jnp.concatenate(
+        [
+            s.occ.ravel(),
+            s.mean_acc.ravel(),
+            s.var_acc.ravel(),
+            s.tot_log_like[None],
+            s.tot_frames[None],
+            counts,
+            jnp.sum(-total_cost * okf)[None],
+            jnp.sum(okf)[None],
+            jnp.sum(failed.astype(jnp.float32))[None],
+            jnp.sum(lens.astype(jnp.float32) * okf)[None],
+        ]
+    )
+    return _kahan_add(carry, comp, x)
+
+
 def _hard_stats_carry(
     gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
     carry, comp,
@@ -182,46 +224,7 @@ def _hard_stats_carry(
 
     global _hard_carry_jit
     if _hard_carry_jit is None:
-
-        def f(gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf,
-              total_cost, carry, comp):
-            import jax.numpy as jnp
-
-            T = bfeats.shape[1]
-            ok = ~failed
-            fw = (
-                (jnp.arange(T)[None, :] < lens[:, None]) & ok[:, None]
-            ).astype(jnp.float32)
-            s = accumulate_am_stats(
-                gconsts, miv, iv, bfeats, id2pdf[tids], fw
-            )
-            # transition counts on device: scatter-add of frame weights
-            # over tids (tid 0 = padding/eps — zero it explicitly)
-            counts = (
-                jnp.zeros(id2pdf.shape[0], jnp.float32)
-                .at[tids]
-                .add(fw)
-                .at[0]
-                .set(0.0)
-            )
-            okf = ok.astype(jnp.float32)
-            x = jnp.concatenate(
-                [
-                    s.occ.ravel(),
-                    s.mean_acc.ravel(),
-                    s.var_acc.ravel(),
-                    s.tot_log_like[None],
-                    s.tot_frames[None],
-                    counts,
-                    jnp.sum(-total_cost * okf)[None],
-                    jnp.sum(okf)[None],
-                    jnp.sum(failed.astype(jnp.float32))[None],
-                    jnp.sum(lens.astype(jnp.float32) * okf)[None],
-                ]
-            )
-            return _kahan_add(carry, comp, x)
-
-        _hard_carry_jit = jax.jit(f, donate_argnums=(9, 10))
+        _hard_carry_jit = jax.jit(_carry_fold, donate_argnums=(9, 10))
     return _hard_carry_jit(
         gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
         carry, comp,
@@ -380,6 +383,7 @@ class EStepPipeline:
         # uploading ~7 MB of plane tables per batch per pass costs more
         # than the aligned kernel itself (~95 ms vs ~17 ms measured)
         self._banded_args_cache = collections.OrderedDict()
+        self._fused_jit_cache = {}  # static config -> fused e-step jit
         # identity-keyed front cache over (pack_graph_batch +
         # _try_pack_banded): a pass over an unchanged packed-graph list
         # (no refresh_transition_costs) skips the batch stacking AND the
@@ -466,18 +470,89 @@ class EStepPipeline:
         return bfeats, lens, bt
 
     def _loglikes(self, model, bfeats):
+        return self._loglikes_raw(
+            model.gconsts, model.means_invvars, model.inv_vars, bfeats
+        )
+
+    def _loglikes_raw(self, gconsts, miv, iv, bfeats):
         dtype = "bfloat16" if self.likelihood_backend.endswith("bf16") else None
         if self.likelihood_backend.startswith("pallas"):
             from khg_tpu.gmm.pallas_kernels import loglikes_pallas
 
             return loglikes_pallas(
-                model.gconsts, model.means_invvars, model.inv_vars, bfeats,
-                compute_dtype=dtype,
+                gconsts, miv, iv, bfeats, compute_dtype=dtype,
             )
-        return gmm_loglikes(
-            model.gconsts, model.means_invvars, model.inv_vars, bfeats,
-            compute_dtype=dtype,
-        )
+        return gmm_loglikes(gconsts, miv, iv, bfeats, compute_dtype=dtype)
+
+    def _fused_carry_fn(self, banded_args, wide):
+        """One jitted call per batch for the carry E-step: scoring +
+        Viterbi + stats fold in a single dispatch (3 separate dispatches
+        each cost tunnel latency).  Cached per static config; jax.jit
+        re-specializes on shapes within each entry."""
+        if banded_args is not None:
+            _, offsets, block_b, interpret = banded_args
+            key = ("banded", offsets, block_b, interpret, wide)
+        else:
+            key = ("xla",)
+        fn = self._fused_jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        acoustic_scale = self.acoustic_scale
+        if banded_args is not None:
+            from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+            if wide:
+                from khg_tpu.gmm.likelihoods import loglikes_per_state
+
+                def step(gconsts, miv, iv, bfeats, lens, tables,
+                         id2pdf, carry, comp):
+                    sac = loglikes_per_state(
+                        gconsts, miv, iv, tables.state_pdf, bfeats
+                    )
+                    res = viterbi_align_banded(
+                        tables, offsets, None, lens, id2pdf,
+                        acoustic_scale=acoustic_scale, block_b=block_b,
+                        interpret=interpret, sac=sac,
+                    )
+                    return _carry_fold(
+                        gconsts, miv, iv, bfeats, res.tids, lens,
+                        res.failed, id2pdf, res.total_cost, carry, comp,
+                    )
+            else:
+
+                def step(gconsts, miv, iv, bfeats, lens, tables,
+                         id2pdf, carry, comp):
+                    ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                    res = viterbi_align_banded(
+                        tables, offsets, ll, lens, id2pdf,
+                        acoustic_scale=acoustic_scale, block_b=block_b,
+                        interpret=interpret,
+                    )
+                    return _carry_fold(
+                        gconsts, miv, iv, bfeats, res.tids, lens,
+                        res.failed, id2pdf, res.total_cost, carry, comp,
+                    )
+
+            fn = jax.jit(step, donate_argnums=(7, 8))
+        else:
+
+            def step(gconsts, miv, iv, bfeats, lens, tables, state_pdf,
+                     id2pdf, carry, comp):
+                ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                res = viterbi_align_batch(
+                    tables, ll, lens, id2pdf,
+                    acoustic_scale=acoustic_scale, state_pdf=state_pdf,
+                )
+                return _carry_fold(
+                    gconsts, miv, iv, bfeats, res.tids, lens,
+                    res.failed, id2pdf, res.total_cost, carry, comp,
+                )
+
+            fn = jax.jit(step, donate_argnums=(8, 9))
+        self._fused_jit_cache[key] = fn
+        return fn
 
     def _batch_graphs(self, idx, packed_graphs, bt, fb: bool = False):
         """Batched (and, when enabled, banded) graph tables for these
@@ -738,18 +813,32 @@ class EStepPipeline:
         carry = jnp.zeros(width, jnp.float32)
         comp = jnp.zeros(width, jnp.float32)
 
+        from khg_tpu.align.pallas_banded import EXTERNAL_AC_PDFS
+
+        wide = int(self.id2pdf.max()) + 1 > EXTERNAL_AC_PDFS
         total_frames = sum(f.shape[0] for f in feats)
         with self.counters.phase("align", frames=total_frames):
             for k, lo in enumerate(range(0, n, self.batch_size)):
                 idx = order[lo : lo + self.batch_size]
-                res, bfeats, lens = self._align_batch(
-                    model, idx, packed_graphs, feats
+                bfeats, lens, bt = self._batch_feats(idx, feats)
+                graphs, banded_args, state_pdf = self._batch_graphs(
+                    idx, packed_graphs, bt
                 )
-                carry, comp = _hard_stats_carry(
-                    model.gconsts, model.means_invvars, model.inv_vars,
-                    bfeats, res.tids, lens, res.failed, self._id2pdf_dev(),
-                    res.total_cost, carry, comp,
-                )
+                # scoring + Viterbi + stats fold: ONE dispatch per batch
+                if banded_args is not None:
+                    fn = self._fused_carry_fn(banded_args, wide)
+                    carry, comp = fn(
+                        model.gconsts, model.means_invvars,
+                        model.inv_vars, bfeats, lens, banded_args[0],
+                        self._id2pdf_dev(), carry, comp,
+                    )
+                else:
+                    fn = self._fused_carry_fn(None, False)
+                    carry, comp = fn(
+                        model.gconsts, model.means_invvars,
+                        model.inv_vars, bfeats, lens, graphs, state_pdf,
+                        self._id2pdf_dev(), carry, comp,
+                    )
                 if k % 128 == 127:
                     # bound the async dispatch queue (one RTT per 128
                     # batches; keeps host-side buffers from piling up on
