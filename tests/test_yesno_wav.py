@@ -116,3 +116,31 @@ def test_train_and_decode_wav_corpus(wav_corpus):
         errs += sum(1 for r, h in ali if r != h)
     wer = errs / tot
     assert wer <= 0.25, f"WER {wer:.2%} on the training corpus"
+
+
+def test_speed_perturb_triples_corpus(tmp_path):
+    """extract_features(speed_perturb_factors=...) mirrors the
+    reference's lhotse tripling (compute_fbank_yesno.py:68): one copy
+    per factor, _sp ids, duration scaled by 1/factor."""
+    d = tmp_path / "waves"
+    write_yesno_corpus(d, num_utts=3, words_per_utt=2, seed=9)
+    base = extract_features(
+        load_yesno_corpus(d), CFG, use_pallas=False
+    )
+    c3 = extract_features(
+        load_yesno_corpus(d), CFG, use_pallas=False,
+        speed_perturb_factors=(0.9, 1.0, 1.1),
+    )
+    n = len(base.utt_ids)
+    assert len(c3.utt_ids) == 3 * n == len(c3.feats) == len(c3.word_seqs)
+    for j in range(n):
+        assert c3.utt_ids[j] == base.utt_ids[j] + "_sp0.9"
+        assert c3.utt_ids[n + j] == base.utt_ids[j]
+        assert c3.utt_ids[2 * n + j] == base.utt_ids[j] + "_sp1.1"
+        assert c3.word_seqs[n + j] == base.word_seqs[j]
+        # the factor-1.0 block is bit-identical to plain extraction
+        np.testing.assert_array_equal(c3.feats[n + j], base.feats[j])
+        # durations scale ~1/factor (frame quantization slack)
+        t = base.feats[j].shape[0]
+        assert abs(c3.feats[j].shape[0] - t / 0.9) <= 3
+        assert abs(c3.feats[2 * n + j].shape[0] - t / 1.1) <= 3
