@@ -50,6 +50,12 @@ def main():
     parser.add_argument("--num-iters", type=int, default=30)
     parser.add_argument("--total-gauss", type=int, default=300)
     parser.add_argument("--num-mel-bins", type=int, default=23)
+    parser.add_argument(
+        "--speed-perturb", action="store_true",
+        help="triple the TRAINING set with 0.9/1.1 speed-perturbed "
+        "copies before fbank, as the reference's training recipe does "
+        "(compute_fbank_yesno.py:68); the test half stays unperturbed",
+    )
     from khg_tpu.utils.platform import ensure_backend
 
     ensure_backend()
@@ -109,12 +115,35 @@ def main():
         test_ids = train_ids
 
     if args.stage <= 3:
-        print(f"=== stage 3: train on {len(train_ids)} utts")
-        train_corpus = SyntheticCorpus(
-            word_seqs=[corpus.word_seqs[i] for i in train_ids],
-            feats=[corpus.feats[i] for i in train_ids],
-            phone_alignments=[],
-        )
+        if args.speed_perturb:
+            # split FIRST, then perturb only the train half: perturbed
+            # copies of test utterances must not leak into training
+            from khg_tpu.recipes.yesno_wav import WavCorpus
+
+            base = load_yesno_corpus(wav_dir)
+            sub = WavCorpus(
+                utt_ids=[base.utt_ids[i] for i in train_ids],
+                wav_paths=[base.wav_paths[i] for i in train_ids],
+                word_seqs=[base.word_seqs[i] for i in train_ids],
+                feats=[],
+            )
+            cfg = FbankConfig(
+                sample_rate=SAMPLE_RATE, num_mel_bins=args.num_mel_bins
+            )
+            sub = extract_features(
+                sub, cfg, speed_perturb_factors=(0.9, 1.0, 1.1)
+            )
+            train_corpus = SyntheticCorpus(
+                word_seqs=sub.word_seqs, feats=sub.feats,
+                phone_alignments=[],
+            )
+        else:
+            train_corpus = SyntheticCorpus(
+                word_seqs=[corpus.word_seqs[i] for i in train_ids],
+                feats=[corpus.feats[i] for i in train_ids],
+                phone_alignments=[],
+            )
+        print(f"=== stage 3: train on {len(train_corpus.feats)} utts")
         result = train_yesno(
             lp, train_corpus,
             num_iters=args.num_iters,

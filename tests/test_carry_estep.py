@@ -121,3 +121,41 @@ def test_carry_small_batches_soft(system):
     assert math.isclose(lz_a, lz_b, rel_tol=1e-5)
     np.testing.assert_allclose(t_a, t_b, rtol=1e-4, atol=1e-3)
     _accs_allclose(acc_a, acc_b, am.num_pdfs, rtol=1e-4, atol=1e-3)
+
+
+def test_kahan_carry_precision_many_folds():
+    """The compensated carry must not drift where a naive f32 running
+    sum visibly does: fold a batch contribution with a large static
+    component 4096 times and compare against exact f64 summation.
+    This is the regime that licenses replacing the per-batch f64 host
+    accumulation (BENCH.md carry section)."""
+    import jax
+    import jax.numpy as jnp
+
+    from khg_tpu.recipes.pipeline import _kahan_add
+
+    rng = np.random.default_rng(0)
+    xs = (3e4 + rng.standard_normal(16384) * 10).astype(np.float32)
+
+    @jax.jit
+    def fold_all(xs):
+        def step(cc, x):
+            c, comp = cc
+            c, comp = _kahan_add(c, comp, x)
+            return (c, comp), None
+
+        (c, _), _ = jax.lax.scan(
+            step, (jnp.float32(0), jnp.float32(0)), xs
+        )
+        naive = jnp.sum(xs.astype(jnp.float32))  # single-pass f32 sum
+        return c, naive
+
+    kahan, _ = fold_all(jnp.asarray(xs))
+    exact = float(np.sum(xs.astype(np.float64)))
+    naive_seq = np.float32(0)
+    for v in xs:  # sequential f32 adds — what a non-compensated carry does
+        naive_seq = np.float32(naive_seq + v)
+    assert abs(float(naive_seq) - exact) > 100.0, (
+        "test must exercise a regime where naive f32 drifts"
+    )
+    assert abs(float(kahan) - exact) < 1.0, (float(kahan), exact)
