@@ -105,7 +105,8 @@ def main():
         print(f"{len(corpus.feats)} utts, {tot} frames")
 
     with open(exp / "feats.pkl", "rb") as f:
-        corpus = pickle.load(f)["corpus"]
+        _saved = pickle.load(f)
+    corpus, feat_cfg = _saved["corpus"], _saved["cfg"]
     lp = make_yesno_lexiconp()
     # deterministic split, train on the first num_train like run.sh's
     # train/test halves
@@ -121,17 +122,21 @@ def main():
             from khg_tpu.recipes.yesno_wav import WavCorpus
 
             base = load_yesno_corpus(wav_dir)
+            # a resumed --stage 3 must see the SAME corpus and feature
+            # config stage 2 pickled: a changed waves dir or CLI
+            # --num-mel-bins would otherwise silently desynchronize
+            # train (recomputed here) from test (loaded from feats.pkl)
+            assert base.utt_ids == corpus.utt_ids, (
+                "waves dir changed since stage 2 — re-run from --stage 2"
+            )
             sub = WavCorpus(
                 utt_ids=[base.utt_ids[i] for i in train_ids],
                 wav_paths=[base.wav_paths[i] for i in train_ids],
                 word_seqs=[base.word_seqs[i] for i in train_ids],
                 feats=[],
             )
-            cfg = FbankConfig(
-                sample_rate=SAMPLE_RATE, num_mel_bins=args.num_mel_bins
-            )
             sub = extract_features(
-                sub, cfg, speed_perturb_factors=(0.9, 1.0, 1.1)
+                sub, feat_cfg, speed_perturb_factors=(0.9, 1.0, 1.1)
             )
             train_corpus = SyntheticCorpus(
                 word_seqs=sub.word_seqs, feats=sub.feats,

@@ -82,14 +82,20 @@ def resample_waveform(
     # at input time 0.
     lhs = jnp.asarray(wav)[None, None, :]
     rhs = jnp.asarray(h[::-1].copy())[None, None, :]
+    # Right slack half+p+q guarantees the conv yields >= n_out samples
+    # for ANY p/q: dilated+padded length (n-1)q+1+2*half+p+q minus the
+    # filter span 2*half+1 gives floor(nq/p)+2 >= ceil(nq/p) outputs.
+    # (half+p alone under-produced for q > 2p, silently truncating the
+    # tail when upsampling by more than 2x.)
     out = lax.conv_general_dilated(
         lhs, rhs,
         window_strides=(p,),
-        padding=[(half, half + p)],  # right slack so n_out always fits
+        padding=[(half, half + p + q)],
         lhs_dilation=(q,),
         rhs_dilation=(1,),
-    )[0, 0, :n_out]
-    return np.asarray(out)
+    )[0, 0]
+    assert out.shape[0] >= n_out, (out.shape, n_out, p, q)
+    return np.asarray(out[:n_out])
 
 
 def perturb_speed(
@@ -100,6 +106,11 @@ def perturb_speed(
 
     Implemented as resampling from sample_rate to sample_rate/factor
     and relabeling; factor must give a rational ratio (0.9, 1.1, ... do).
+
+    ``sample_rate`` is accepted only for lhotse API symmetry and is
+    intentionally UNUSED: the synthetic p/q ratio derived from ``factor``
+    fully determines the anti-alias filter (the cutoff is relative to
+    the signal's own Nyquist, whatever the absolute rate).
     """
     if factor == 1.0:
         return np.asarray(wav, dtype=np.float32)

@@ -154,8 +154,11 @@ def _unpack_stats(flat: np.ndarray, P: int, K: int, D: int):
 # Cross-batch summation is Kahan-compensated in f32 (two jnp vectors), so
 # dropping the host's per-batch f64 accumulation loses no precision that
 # matters: within-batch sums are the same f32 GEMMs either way, and the
-# compensated cross-batch sum carries ~2^48 of effective integer range
-# (vs f32's 2^24) — far beyond any realistic pass size.
+# compensated cross-batch sum does not accumulate drift — the fetched
+# total is within one f32 ULP of the exact sum (correctly rounded; the
+# (carry, comp) pair holds ~2x f32 precision while folding, but the
+# final readout is one f32, so ULP-of-total is the honest bound — pinned
+# by tests/test_carry_estep.py::test_kahan_carry_precision_many_folds).
 #
 # Carry layout (one flat f32 vector):
 #   [occ (P*K), mean_acc (P*K*D), var_acc (P*K*D), tot_log_like, tot_frames,
@@ -167,9 +170,15 @@ def _carry_width(P: int, K: int, D: int, num_tids: int) -> int:
 
 
 def _kahan_add(carry, comp, x):
-    """One compensated-summation step; returns (carry', comp')."""
+    """One compensated-summation step; returns (carry', comp').
+
+    The optimization_barrier pins the rounding of ``t`` so XLA can never
+    reassociate ``(t - carry) - y`` into zero (which would silently turn
+    this back into a naive f32 sum)."""
+    import jax
+
     y = x - comp
-    t = carry + y
+    t = jax.lax.optimization_barrier(carry + y)
     return t, (t - carry) - y
 
 

@@ -33,7 +33,7 @@ def test_identity():
     np.testing.assert_array_equal(perturb_speed(x, 8000, 1.0), x)
 
 
-@pytest.mark.parametrize("sr_out", [12000, 16000, 6000, 11025])
+@pytest.mark.parametrize("sr_out", [12000, 16000, 6000, 11025, 24000, 48000])
 def test_tone_frequency_preserved(sr_out):
     sr_in = 8000
     x = _tone(440, sr_in)
@@ -90,6 +90,22 @@ def test_speed_perturb_corpus_order_and_sources():
     np.testing.assert_array_equal(out[3], wavs[1])
     # 0.9 block is longer, 1.1 block is shorter
     assert out[0].shape[0] > wavs[0].shape[0] > out[4].shape[0]
+
+
+@pytest.mark.parametrize(
+    "n,sr_in,sr_out",
+    [(100, 8000, 24000), (200, 8000, 48000), (100, 16000, 44100)],
+)
+def test_large_upsample_exact_length(n, sr_in, sr_out):
+    """Upsampling by more than 2x must still deliver the documented
+    ceil(n*sr_out/sr_in) samples (the old half+p right pad silently
+    dropped tail samples for q > 2p — ADVICE r2)."""
+    import fractions
+
+    x = np.ones(n, dtype=np.float32)
+    y = resample_waveform(x, sr_in, sr_out)
+    f = fractions.Fraction(sr_out, sr_in)
+    assert y.shape[0] == _out_len(n, f.denominator, f.numerator)
 
 
 def test_dc_gain_near_unity():
