@@ -145,6 +145,7 @@ def train_yesno(
     self_loop_scale: float = 0.1,
     boost: float = 1.0,
     seed: int = 3,
+    perturb_factor: float = 0.01,
     checkpoint_dir: Optional[str] = None,
 ) -> TrainResult:
     from khg_tpu.utils.checkpoint import (
@@ -230,7 +231,7 @@ def train_yesno(
         gmm_est(
             am, gmm_accs, tm, transition_accs,
             MleTransitionUpdateConfig(), gmm_opts0,
-            mixup=num_gauss, rng=rng,
+            mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
 
     realign_set = set(realign_iters.split())
@@ -263,7 +264,7 @@ def train_yesno(
         gmm_est(
             am, gmm_accs, tm, transition_accs,
             MleTransitionUpdateConfig(), MleDiagGmmOptions(),
-            mixup=num_gauss, rng=rng,
+            mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
         if it < max_iter_inc:
             num_gauss += inc_gauss

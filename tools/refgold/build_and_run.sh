@@ -43,6 +43,22 @@ python tools/refgold/make_align_problem.py tests/golden/align_problem.txt
 cat tests/golden/align_golden.txt
 ls -la tests/golden/
 
+# EM-loop trajectory golden: the reference's full training loop
+# (train.py:116-222 semantics) over khg_tpu-exported graphs/features
+g++ -O2 -std=c++17 \
+  -I"$REF" -Itools/refgold/include -I"$EIGEN" \
+  -include tools/refgold/include/compat/eigen_compat.h \
+  tools/refgold/em_loop_runner.cc $SRCS \
+  "$REF/kaldi-hmm-gmm/csrc/faster-decoder.cc" \
+  "$REF/kaldi-hmm-gmm/csrc/decodable-am-diag-gmm.cc" \
+  -o "$OUT/em_loop_runner"
+python tools/refgold/make_em_problem.py tests/golden/em_problem.txt \
+  tests/golden/em_topo.txt
+"$OUT/em_loop_runner" tests/golden/em_problem.txt tests/golden/em_topo.txt \
+  tests/golden/em_loop_golden.json
+python -m json.tool tests/golden/em_loop_golden.json > /dev/null \
+  && echo "em loop golden JSON valid"
+
 # lattice parity: reference LatticeFasterDecoderTpl over a khg_tpu HCLG
 g++ -O2 -std=c++17 -Dint32=int32_t \
   -I"$REF" -Itools/refgold/include \
