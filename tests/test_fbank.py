@@ -167,6 +167,88 @@ def test_fbank_matches_scalar_oracle(cfg):
     "cfg",
     [
         FbankConfig(),
+        FbankConfig(snip_edges=True, num_mel_bins=23),
+        FbankConfig(use_energy=True, energy_floor=1e-4),
+        FbankConfig(use_energy=True, raw_energy=False),
+        FbankConfig(use_power=False, window_type="hanning",
+                    preemph_coeff=0.0, remove_dc_offset=False),
+        # the config the reference actually consumes: lhotse
+        # Fbank(FbankConfig(sampling_rate=8000, num_mel_bins=23)) with
+        # lhotse's Kaldi-compatible defaults (high_freq=-400 offset,
+        # snip_edges=False, povey, preemph 0.97, dither 0)
+        # (/root/reference/egs/yesno/local/compute_fbank_yesno.py:51-58)
+        FbankConfig(sample_rate=8000, num_mel_bins=23, high_freq=-400.0),
+    ],
+    ids=["default", "snip", "energy", "win_energy", "magnitude",
+         "yesno_lhotse"],
+)
+def test_fbank_matches_torch_oracle(cfg):
+    """Independent-oracle parity: torch framing/FFT/mel weights share no
+    code with khg_tpu.features (see tests/torch_fbank_oracle.py) — this
+    is the cross-implementation check that lhotse parity would provide
+    if lhotse were installable here."""
+    from torch_fbank_oracle import torch_fbank
+
+    rng = np.random.default_rng(17)
+    wave = (rng.standard_normal(int(cfg.sample_rate * 0.81)) * 4000).astype(
+        np.float32
+    )
+    got = np.asarray(compute_fbank(wave, cfg))
+    want = torch_fbank(wave, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mel_banks_match_torch_derivation():
+    """The mel filter matrix itself, against an independent derivation
+    of the published Kaldi formula — catches breakpoint/edge-bin errors
+    that whole-pipeline tolerance could absorb."""
+    from torch_fbank_oracle import torch_mel_banks
+
+    for cfg in (
+        FbankConfig(),
+        FbankConfig(sample_rate=8000, num_mel_bins=23, high_freq=-400.0),
+        FbankConfig(num_mel_bins=40, low_freq=40.0, high_freq=-200.0),
+    ):
+        ours = mel_banks(cfg)
+        theirs = torch_mel_banks(cfg).numpy()
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def _golden_wave():
+    """Deterministic 8 kHz test signal: chirp + two formant-ish tones +
+    noise, amplitude-modulated; fixed forever (the golden pins it)."""
+    sr = 8000
+    t = np.arange(int(sr * 0.6)) / sr
+    wave = (
+        3000.0 * np.sin(2 * np.pi * (200.0 + 800.0 * t) * t)
+        + 1500.0 * np.sin(2 * np.pi * 1300.0 * t)
+        + 700.0 * np.sin(2 * np.pi * 2600.0 * t + 0.7)
+    ) * (0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t))
+    wave += np.random.default_rng(99).standard_normal(len(t)) * 40.0
+    return wave.astype(np.float32)
+
+
+def test_frozen_golden_features():
+    """Regression pin: khg fbank output for a fixed WAV must match the
+    checked-in golden matrix (generated by the independent torch oracle,
+    tests/golden/fbank_golden.npz).  Any change to framing, windowing,
+    mel weights, or flooring moves this."""
+    from pathlib import Path
+
+    golden_path = Path(__file__).parent / "golden" / "fbank_golden.npz"
+    cfg = FbankConfig(sample_rate=8000, num_mel_bins=23, high_freq=-400.0)
+    got = np.asarray(compute_fbank(_golden_wave(), cfg))
+    golden = np.load(golden_path)["feats"]
+    assert got.shape == golden.shape
+    np.testing.assert_allclose(got, golden, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FbankConfig(),
         FbankConfig(sample_rate=8000, num_mel_bins=23),
         FbankConfig(snip_edges=True),
         FbankConfig(use_energy=True),
