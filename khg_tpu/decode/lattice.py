@@ -137,9 +137,26 @@ class LatticeFasterDecoder:
         self,
         fst: VectorFst,
         config: LatticeFasterDecoderConfig = LatticeFasterDecoderConfig(),
+        backend: str = "auto",
     ):
+        """backend: "native" (C++ core, exact-equal to the Python path,
+        pinned by tests/test_native_lattice.py), "python", or "auto"
+        (native when the shared library is loadable)."""
         self.fst = fst
         self.config = config
+        assert backend in ("auto", "native", "python"), backend
+        self.backend = backend
+        self._packed_csr = None
+
+    def _use_native(self) -> bool:
+        if self.backend == "python":
+            return False
+        from khg_tpu.decode.native_lattice import native_available
+
+        ok = native_available()
+        if self.backend == "native" and not ok:
+            raise RuntimeError("native core unavailable")
+        return ok
 
     def decode(
         self,
@@ -148,6 +165,22 @@ class LatticeFasterDecoder:
         acoustic_scale: float = 1.0,
         allow_partial: bool = True,
     ) -> Optional[Lattice]:
+        if self._use_native():
+            from khg_tpu.decode.native_lattice import (
+                lattice_decode_native,
+                pack_fst_csr,
+            )
+
+            if self._packed_csr is None:
+                self._packed_csr = pack_fst_csr(self.fst)
+            cfg = self.config
+            lat, max_live = lattice_decode_native(
+                self._packed_csr, loglikes, id2pdf, acoustic_scale,
+                cfg.beam, cfg.max_active, cfg.min_active,
+                cfg.lattice_beam, cfg.prune_interval, allow_partial,
+            )
+            self.last_max_live_links = max_live
+            return lat
         fst = self.fst
         cfg = self.config
         num_tids = len(id2pdf) - 1
@@ -305,14 +338,19 @@ class LatticeSimpleDecoder(LatticeFasterDecoder):
     """Unpruned-during-search variant (didactic oracle): beam = inf,
     lattice pruning still applies at extraction."""
 
-    def __init__(self, fst: VectorFst, config: LatticeFasterDecoderConfig = LatticeFasterDecoderConfig()):
+    def __init__(
+        self,
+        fst: VectorFst,
+        config: LatticeFasterDecoderConfig = LatticeFasterDecoderConfig(),
+        backend: str = "auto",
+    ):
         cfg = LatticeFasterDecoderConfig(
             beam=float("inf"),
             max_active=2**31 - 1,
             min_active=0,
             lattice_beam=config.lattice_beam,
         )
-        super().__init__(fst, cfg)
+        super().__init__(fst, cfg, backend=backend)
 
 
 def decode_utterance_lattice_faster(

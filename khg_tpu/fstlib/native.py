@@ -45,6 +45,38 @@ class _FstBuf(ctypes.Structure):
     ]
 
 
+class _LatticeBuf(ctypes.Structure):
+    _fields_ = [
+        ("num_states", ctypes.c_int32),
+        ("start", ctypes.c_int32),
+        ("num_arcs", ctypes.c_int64),
+        ("src", ctypes.POINTER(ctypes.c_int32)),
+        ("il", ctypes.POINTER(ctypes.c_int32)),
+        ("ol", ctypes.POINTER(ctypes.c_int32)),
+        ("gc", ctypes.POINTER(ctypes.c_double)),
+        ("ac", ctypes.POINTER(ctypes.c_double)),
+        ("dst", ctypes.POINTER(ctypes.c_int32)),
+        ("key_t", ctypes.POINTER(ctypes.c_int32)),
+        ("key_s", ctypes.POINTER(ctypes.c_int32)),
+        ("num_finals", ctypes.c_int32),
+        ("final_state", ctypes.POINTER(ctypes.c_int32)),
+        ("final_w", ctypes.POINTER(ctypes.c_double)),
+        ("partial", ctypes.c_int32),
+        ("max_live_links", ctypes.c_int64),
+    ]
+
+
+class _PathBuf(ctypes.Structure):
+    _fields_ = [
+        ("found", ctypes.c_int32),
+        ("n_il", ctypes.c_int32),
+        ("n_ol", ctypes.c_int32),
+        ("il", ctypes.POINTER(ctypes.c_int32)),
+        ("ol", ctypes.POINTER(ctypes.c_int32)),
+        ("cost", ctypes.c_double),
+    ]
+
+
 def _build() -> bool:
     if not _SRC_PATH.exists():
         return False
@@ -69,7 +101,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if _lib_failed:
         return None
-    if not _SO_PATH.exists() and not _build():
+    stale = (
+        _SO_PATH.exists()
+        and _SRC_PATH.exists()
+        and _SO_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime
+    )
+    if (not _SO_PATH.exists() or stale) and not _build():
         _lib_failed = True
         return None
     try:
@@ -94,6 +131,46 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.khg_connect.restype = ctypes.c_int
     lib.khg_free_fst.argtypes = [ctypes.POINTER(_FstBuf)]
     lib.khg_free_fst.restype = None
+    lib.khg_lattice_decode.argtypes = [
+        ctypes.c_int32,                         # num_states
+        ctypes.c_int32,                         # start
+        ctypes.POINTER(ctypes.c_double),        # finals
+        ctypes.POINTER(ctypes.c_int64),         # arc_offsets (CSR)
+        ctypes.POINTER(ctypes.c_int32),         # ilabels
+        ctypes.POINTER(ctypes.c_int32),         # olabels
+        ctypes.POINTER(ctypes.c_double),        # weights
+        ctypes.POINTER(ctypes.c_int32),         # dests
+        ctypes.POINTER(ctypes.c_float),         # loglikes (T, P)
+        ctypes.c_int32,                         # T
+        ctypes.c_int32,                         # P
+        ctypes.POINTER(ctypes.c_int32),         # id2pdf
+        ctypes.c_double,                        # acoustic_scale
+        ctypes.c_double,                        # beam
+        ctypes.c_int32,                         # max_active
+        ctypes.c_int32,                         # min_active
+        ctypes.c_double,                        # lattice_beam
+        ctypes.c_int32,                         # prune_interval
+        ctypes.c_int32,                         # allow_partial
+        ctypes.POINTER(_LatticeBuf),
+    ]
+    lib.khg_lattice_decode.restype = ctypes.c_int
+    lib.khg_free_lattice.argtypes = [ctypes.POINTER(_LatticeBuf)]
+    lib.khg_free_lattice.restype = None
+    lib.khg_shortest_path.argtypes = [
+        ctypes.c_int32,                         # num_states
+        ctypes.c_int32,                         # start
+        ctypes.POINTER(ctypes.c_double),        # finals
+        ctypes.c_int64,                         # num_arcs
+        ctypes.POINTER(ctypes.c_int32),         # src
+        ctypes.POINTER(ctypes.c_int32),         # ilabels
+        ctypes.POINTER(ctypes.c_int32),         # olabels
+        ctypes.POINTER(ctypes.c_double),        # weights
+        ctypes.POINTER(ctypes.c_int32),         # dests
+        ctypes.POINTER(_PathBuf),
+    ]
+    lib.khg_shortest_path.restype = ctypes.c_int
+    lib.khg_free_path.argtypes = [ctypes.POINTER(_PathBuf)]
+    lib.khg_free_path.restype = None
     _lib = lib
     return _lib
 
