@@ -256,6 +256,74 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
     return (time.perf_counter() - t0) / iters, out
 
 
+def run_decode(problem, device, num_utts=16, warm=2):
+    """Test-set lattice decoding xRT: device GMM scoring (one batched
+    GEMM + fetch) followed by native lattice-faster decoding + best
+    path per utterance, over a full HCLG (digits lexicon, unigram LM).
+
+    Returns (wall seconds per audio second i.e. xRT, backend name).
+    The reference's comparison point is its compiled C++
+    LatticeFasterDecoderTpl (csrc/lattice-faster-decoder.cc:86-893),
+    which decodes yesno well under real time on CPU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from khg_tpu.decode.arpa import arpa_to_fst
+    from khg_tpu.decode.graph import build_hclg
+    from khg_tpu.decode.lattice import (
+        LatticeFasterDecoder,
+        LatticeFasterDecoderConfig,
+        decode_utterance_lattice_faster,
+    )
+    from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+
+    lp, tm, tree, am, gc = problem["system"]
+    lm_words = [
+        lp.id2word[w] for w in lp.word2id.values()
+        if w > 0 and not lp.id2word[w].startswith(("<", "#"))
+    ]
+    arpa = "\\data\\\nngram 1=%d\n\n\\1-grams:\n" % (len(lm_words) + 2)
+    for w in lm_words:
+        arpa += f"-1\t{w}\n"
+    arpa += "-99 <s>\n-1 </s>\n\n\\end\\\n"
+    G = arpa_to_fst(arpa, lp.word2id)
+    hclg = build_hclg(lp, G, tm, tree, self_loop_scale=0.1)
+    decoder = LatticeFasterDecoder(
+        hclg,
+        LatticeFasterDecoderConfig(
+            beam=16.0, max_active=7000, min_active=200, lattice_beam=8.0
+        ),
+    )
+    backend = "native" if decoder._use_native() else "python"
+    id2pdf = tm.id2pdf_array()
+    feats = problem["feats"][:num_utts]
+    audio_sec = feats.shape[0] * feats.shape[1] / 100.0
+
+    put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
+    gconsts, miv, iv = (put(x) for x in problem["model"])
+    dev_feats = put(feats)
+    score = jax.jit(lambda f: gmm_loglikes(gconsts, miv, iv, f))
+    np.asarray(score(dev_feats))  # compile + warm
+
+    def one_pass():
+        ll_all = np.asarray(score(dev_feats))  # device GEMM + fetch
+        n_ok = 0
+        for u in range(feats.shape[0]):
+            ok, tids, words, _ = decode_utterance_lattice_faster(
+                decoder, ll_all[u], id2pdf, acoustic_scale=0.1
+            )
+            n_ok += ok
+        return n_ok
+
+    assert one_pass() == num_utts
+    for _ in range(warm - 1):
+        one_pass()
+    t0 = time.perf_counter()
+    one_pass()
+    return (time.perf_counter() - t0) / audio_sec, backend
+
+
 def run_corpus_em(num_utts=1024, frames=500, dim=80, passes=3):
     """Steady-state wall seconds per EM pass through EStepPipeline
     (the user-facing corpus loop: pipelined batches, feature cache,
@@ -335,6 +403,13 @@ def main():
             )
         except Exception as e:
             print(f"corpus EM measurement failed: {e}", file=sys.stderr)
+        try:
+            xrt, backend = run_decode(problem, default_dev)
+            extras["decode_lattice_xrt"] = round(xrt, 5)
+            extras["decode_audio_sec_per_s"] = round(1.0 / xrt, 1)
+            extras["decode_backend"] = backend
+        except Exception as e:
+            print(f"decode measurement failed: {e}", file=sys.stderr)
         try:
             tri = build_problem(
                 num_graphs=8, batch=64, frames=300, dim=80, mix=32,
