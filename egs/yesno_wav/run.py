@@ -44,9 +44,21 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--stage", type=int, default=0)
     parser.add_argument("--exp-dir", type=Path, default=Path("exp/yesno_wav"))
+    parser.add_argument(
+        "--waves-dir", type=Path, default=None,
+        help="existing waves directory (e.g. a real waves_yesno download "
+        "from `lhotse download yesno`); validated against the drop-in "
+        "contract (recipes/yesno_wav.YESNO_WAVES_CONTRACT) instead of "
+        "synthesizing stand-in audio. With the real 60-file corpus the "
+        "canonical 30/30 sorted split is used unless --num-train is set",
+    )
     parser.add_argument("--num-utts", type=int, default=60)
     parser.add_argument("--words-per-utt", type=int, default=8)
-    parser.add_argument("--num-train", type=int, default=31)
+    parser.add_argument(
+        "--num-train", type=int, default=None,
+        help="train-split size over the sorted file list; default: first "
+        "half (the canonical waves_yesno 30/30 split)",
+    )
     parser.add_argument("--num-iters", type=int, default=30)
     parser.add_argument("--total-gauss", type=int, default=300)
     parser.add_argument("--num-mel-bins", type=int, default=23)
@@ -74,9 +86,17 @@ def main():
     )
     from khg_tpu.recipes.yesno import SyntheticCorpus, train_yesno
 
-    wav_dir = exp / "waves"
+    from khg_tpu.recipes.yesno_wav import validate_yesno_waves
+
+    wav_dir = args.waves_dir if args.waves_dir is not None else exp / "waves"
     if args.stage <= 0:
-        if any(wav_dir.glob("*.wav")):
+        if args.waves_dir is not None:
+            report = validate_yesno_waves(wav_dir, strict=True)
+            kind = ("real waves_yesno corpus"
+                    if report["is_real_corpus_shape"] else "stand-in corpus")
+            print(f"=== stage 0: {kind} in {wav_dir} "
+                  f"({report['num_files']} files, contract OK)")
+        elif any(wav_dir.glob("*.wav")):
             print(f"=== stage 0: using existing WAVs in {wav_dir}")
         else:
             print(f"=== stage 0: synthesizing {args.num_utts} recordings")
@@ -108,9 +128,13 @@ def main():
         _saved = pickle.load(f)
     corpus, feat_cfg = _saved["corpus"], _saved["cfg"]
     lp = make_yesno_lexiconp()
-    # deterministic split, train on the first num_train like run.sh's
-    # train/test halves
-    train_ids = list(range(min(args.num_train, len(corpus.utt_ids))))
+    # deterministic split over the sorted file list; default = first half,
+    # the canonical waves_yesno 30/30 train/test convention
+    num_train = (
+        args.num_train if args.num_train is not None
+        else (len(corpus.utt_ids) + 1) // 2
+    )
+    train_ids = list(range(min(num_train, len(corpus.utt_ids))))
     test_ids = [i for i in range(len(corpus.utt_ids)) if i not in train_ids]
     if not test_ids:  # tiny runs: score on train
         test_ids = train_ids

@@ -184,6 +184,68 @@ class WavCorpus:
     feats: List[np.ndarray]  # filled by extract_features
 
 
+# The real waves_yesno corpus contract (what `lhotse download yesno`
+# produces and the reference trains on, /root/reference/egs/yesno/
+# run.sh:24-48): 60 recordings, 8 kHz 16-bit mono PCM WAV, file names
+# encoding the 8-word transcript with 0=NO / 1=YES joined by "_"
+# (e.g. 0_0_1_0_1_0_1_1.wav).  The canonical split sorts file names and
+# takes the first half for training, second half for test (30/30).
+YESNO_WAVES_CONTRACT = {
+    "count": 60,
+    "sample_rate": SAMPLE_RATE,
+    "channels": 1,
+    "name_pattern": r"^[01](_[01])*$",
+    "words_per_utt": 8,
+}
+
+
+def validate_yesno_waves(wav_dir: Path, strict: bool = False) -> dict:
+    """Check a waves directory against the waves_yesno drop-in contract.
+
+    Returns a report dict {"num_files", "bad_names", "bad_rates",
+    "bad_channels", "is_real_corpus_shape"}; raises ValueError under
+    ``strict`` when any file violates the name/rate/channel contract.
+    ``is_real_corpus_shape`` is True when the directory looks exactly
+    like the actual download (60 files of 8 words each) as opposed to a
+    synthesized or subset stand-in.
+    """
+    import re
+
+    wav_dir = Path(wav_dir)
+    paths = sorted(wav_dir.glob("*.wav"))
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    pat = re.compile(YESNO_WAVES_CONTRACT["name_pattern"])
+    bad_names, bad_rates, bad_channels = [], [], []
+    words_counts = set()
+    for p in paths:
+        if not pat.match(p.stem):
+            bad_names.append(p.name)
+            continue
+        words_counts.add(len(p.stem.split("_")))
+        w, rate = read_wav(p)
+        if rate != YESNO_WAVES_CONTRACT["sample_rate"]:
+            bad_rates.append((p.name, rate))
+        if w.ndim != 1:
+            bad_channels.append((p.name, w.shape[0]))
+    report = {
+        "num_files": len(paths),
+        "bad_names": bad_names,
+        "bad_rates": bad_rates,
+        "bad_channels": bad_channels,
+        "is_real_corpus_shape": (
+            len(paths) == YESNO_WAVES_CONTRACT["count"]
+            and not bad_names
+            and not bad_rates
+            and not bad_channels
+            and words_counts == {YESNO_WAVES_CONTRACT["words_per_utt"]}
+        ),
+    }
+    if strict and (bad_names or bad_rates or bad_channels):
+        raise ValueError(f"waves dir violates the yesno contract: {report}")
+    return report
+
+
 def load_yesno_corpus(wav_dir: Path) -> WavCorpus:
     """Scan a waves directory; transcripts come from the filenames."""
     paths = sorted(Path(wav_dir).glob("*.wav"))

@@ -144,3 +144,64 @@ def test_speed_perturb_triples_corpus(tmp_path):
         t = base.feats[j].shape[0]
         assert abs(c3.feats[j].shape[0] - t / 0.9) <= 3
         assert abs(c3.feats[2 * n + j].shape[0] - t / 1.1) <= 3
+
+
+def test_validate_yesno_waves_contract(tmp_path):
+    """The drop-in contract checker: synthesized stand-ins pass the
+    per-file contract but are not mistaken for the real corpus; a
+    malformed file name fails strict validation."""
+    from khg_tpu.recipes.yesno_wav import validate_yesno_waves
+
+    d = tmp_path / "waves"
+    write_yesno_corpus(d, num_utts=6, words_per_utt=8, seed=11)
+    report = validate_yesno_waves(d, strict=True)
+    assert report["num_files"] == 6
+    assert not report["bad_names"] and not report["bad_rates"]
+    assert not report["is_real_corpus_shape"]  # 6 files, not 60
+
+    bad = d / "badname.wav"
+    import shutil
+
+    shutil.copy(next(d.glob("[01]*.wav")), bad)
+    with pytest.raises(ValueError):
+        validate_yesno_waves(d, strict=True)
+    report = validate_yesno_waves(d)
+    assert "badname.wav" in report["bad_names"]
+
+
+def _real_waves_dir():
+    import os
+    from pathlib import Path
+
+    for cand in (os.environ.get("YESNO_WAVES_DIR"),
+                 str(Path.home() / "waves_yesno"),
+                 "/root/download/waves_yesno"):
+        if cand and Path(cand).is_dir() and any(Path(cand).glob("*.wav")):
+            return Path(cand)
+    return None
+
+
+def test_real_waves_yesno_smoke():
+    """Runs ONLY when an actual waves_yesno download is present
+    (YESNO_WAVES_DIR env var, ~/waves_yesno, or /root/download/
+    waves_yesno): validates the drop-in contract and pushes the real
+    audio through fbank + a short flat-start EM + decode.  Skips
+    cleanly when the corpus is absent (no network in CI) — downloading
+    the tarball is the only step needed to turn this on."""
+    real = _real_waves_dir()
+    if real is None:
+        pytest.skip("real waves_yesno corpus not present")
+    from khg_tpu.recipes.yesno_wav import validate_yesno_waves
+
+    report = validate_yesno_waves(real, strict=True)
+    assert report["is_real_corpus_shape"], report
+    corpus = load_yesno_corpus(real)
+    corpus = extract_features(corpus, CFG, use_pallas=False)
+    assert len(corpus.feats) == 60
+    lp = make_yesno_lexiconp()
+    train = SyntheticCorpus(
+        word_seqs=corpus.word_seqs[:30], feats=corpus.feats[:30],
+        phone_alignments=[],
+    )
+    result = train_yesno(lp, train, num_iters=6, total_gauss=60)
+    assert result.avg_loglikes[-1] > result.avg_loglikes[0]
