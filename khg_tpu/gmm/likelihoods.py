@@ -96,6 +96,40 @@ def loglikes(
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def component_scores_per_state(
+    gconsts: jnp.ndarray,        # (P, K)
+    means_invvars: jnp.ndarray,  # (P, K, D)
+    inv_vars: jnp.ndarray,       # (P, K, D)
+    state_pdf: jnp.ndarray,      # (B, S) int32 — pdf of each graph state
+    feats: jnp.ndarray,          # (B, T, D)
+    compute_dtype: Optional[str] = None,
+) -> jnp.ndarray:
+    """(B, T, S, K) per-component scores of each graph STATE's pdf.
+
+    The S-factored analogue of component_scores: model rows are gathered
+    once per (b, s) and the GEMM shrinks by P/S.  Shared by per-state
+    alignment scoring (loglikes_per_state) and the local-state stats
+    fold (stats.accum.accumulate_am_stats_local) — compute it once in a
+    fused E-step and feed both.
+    """
+    P, K, D = means_invvars.shape
+    A, g = _stack_model(gconsts, means_invvars, inv_vars)
+    A_state = A.reshape(P, K, 2 * D)[state_pdf]      # (B, S, K, 2D)
+    g_state = g.reshape(P, K)[state_pdf]             # (B, S, K)
+    x2 = _expand_feats(feats)                        # (B, T, 2D)
+    if compute_dtype == "bfloat16":
+        A_state = A_state.astype(jnp.bfloat16)
+        x2 = x2.astype(jnp.bfloat16)
+    precision = (
+        None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "btd,bskd->btsk", x2, A_state,
+        precision=precision, preferred_element_type=jnp.float32,
+    ) + g_state[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def loglikes_per_state(
     gconsts: jnp.ndarray,        # (P, K)
     means_invvars: jnp.ndarray,  # (P, K, D)
@@ -116,21 +150,10 @@ def loglikes_per_state(
     ~32x fewer FLOPs at triphone scale (P~2048, S~64).  Identical
     values to loglikes(...)[b, t, state_pdf[b, s]].
     """
-    P, K, D = means_invvars.shape
-    A, g = _stack_model(gconsts, means_invvars, inv_vars)
-    A_state = A.reshape(P, K, 2 * D)[state_pdf]      # (B, S, K, 2D)
-    g_state = g.reshape(P, K)[state_pdf]             # (B, S, K)
-    x2 = _expand_feats(feats)                        # (B, T, 2D)
-    if compute_dtype == "bfloat16":
-        A_state = A_state.astype(jnp.bfloat16)
-        x2 = x2.astype(jnp.bfloat16)
-    precision = (
-        None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
+    scores = component_scores_per_state(
+        gconsts, means_invvars, inv_vars, state_pdf, feats,
+        compute_dtype=compute_dtype,
     )
-    scores = jnp.einsum(
-        "btd,bskd->btsk", x2, A_state,
-        precision=precision, preferred_element_type=jnp.float32,
-    ) + g_state[:, None]
     return jax.nn.logsumexp(scores, axis=-1)        # (B, T, S)
 
 

@@ -18,6 +18,7 @@ gmm_acc_stats_ali.py) redesigned for batched TPU execution.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -826,6 +827,7 @@ class EStepPipeline:
 
         wide = int(self.id2pdf.max()) + 1 > EXTERNAL_AC_PDFS
         total_frames = sum(f.shape[0] for f in feats)
+        t_pass0 = time.perf_counter()
         with self.counters.phase("align", frames=total_frames):
             for k, lo in enumerate(range(0, n, self.batch_size)):
                 idx = order[lo : lo + self.batch_size]
@@ -853,7 +855,18 @@ class EStepPipeline:
                     # batches; keeps host-side buffers from piling up on
                     # very large corpora)
                     jax.device_get(carry[-1])
+            t_dispatched = time.perf_counter()
             flat = np.asarray(jax.device_get(carry), dtype=np.float64)
+            t_fetched = time.perf_counter()
+            # pass-level breakdown for the bench/BENCH.md overhead audit:
+            # dispatch wall = host packing + async enqueues (device
+            # compute overlaps it); fetch wall = device drain + the one
+            # device->host carry transfer (dominated by tunnel RTT here)
+            self.last_carry_timings = {
+                "dispatch_s": t_dispatched - t_pass0,
+                "fetch_s": t_fetched - t_dispatched,
+                "batches": (n + self.batch_size - 1) // self.batch_size,
+            }
         (
             occ, mean_acc, var_acc, tot_ll, tot_frames, counts,
             like_sum, num_done, num_error, frame_count,

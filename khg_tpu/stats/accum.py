@@ -309,6 +309,96 @@ def accumulate_am_stats(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def accumulate_am_stats_local(
+    gconsts: jnp.ndarray,        # (P, K)
+    means_invvars: jnp.ndarray,  # (P, K, D)
+    inv_vars: jnp.ndarray,       # (P, K, D)
+    feats: jnp.ndarray,          # (B, T, D)
+    pdf_ids: jnp.ndarray,        # (B, T) int32
+    frame_weights: jnp.ndarray,  # (B, T) f32 (0 masks a frame out)
+    state_pdf: jnp.ndarray,      # (B, S) int32 — pdf of each graph state
+    state_scores: Optional[jnp.ndarray] = None,  # (B, T, S, K) precomputed
+) -> DenseStats:
+    """Triphone-scale stats factored through each utterance's graph
+    states.
+
+    The gather branch of accumulate_am_stats moves O(N·K·D) gathered
+    model rows and pays an O(N·P·Q) one-hot moment GEMM; at wide-model
+    scale (P ~ 2048) that fold dominates the whole E-step.  Every
+    aligned pdf occurs among the utterance's graph states (S << P), so
+    posteriors and moments accumulate per LOCAL state first —
+    O(B·T·S·K·D) — and one exact 0/1 one-hot GEMM over state_pdf
+    scatters the (B, S) partials into the global (P, ...) accumulators,
+    shrinking the scatter contraction from N=B·T rows to B·S.
+
+    Pass ``state_scores`` (from gmm.likelihoods.component_scores_per_state,
+    f32/HIGHEST) when the fused E-step already computed them for
+    alignment scoring — the fold then adds no scoring GEMM at all.
+
+    Matches accumulate_am_stats up to f32 summation order (pinned by
+    tests/test_stats_est.py::test_local_path_matches_gemm_path).
+    """
+    from khg_tpu.gmm.likelihoods import component_scores_per_state
+
+    P, K, D = means_invvars.shape
+    B, T, _ = feats.shape
+    S = state_pdf.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+
+    if state_scores is None:
+        state_scores = component_scores_per_state(
+            gconsts, means_invvars, inv_vars, state_pdf, feats
+        )
+    # padding components carry gconst=-inf; clamp so 0-weighted one-hot
+    # terms stay 0 (0 * -inf = NaN); exp(-1e30 - max) underflows to 0
+    scores_sk = jnp.maximum(state_scores, -1e30)     # (B, T, S, K)
+
+    # first-match local state of each frame's aligned pdf: any state
+    # with the same pdf has identical model rows, so selecting exactly
+    # one (the first) reproduces the per-pdf posteriors
+    iota = jnp.arange(S, dtype=jnp.int32)
+    eq = state_pdf[:, None, :] == pdf_ids[:, :, None]          # (B, T, S)
+    sidx = jnp.min(jnp.where(eq, iota[None, None, :], S), axis=-1)
+    onehot_local = jax.nn.one_hot(sidx, S, dtype=jnp.float32)  # (B, T, S)
+    onehot_local = onehot_local * (frame_weights > 0)[..., None]
+
+    # aligned state's component scores -> posteriors and log-like
+    sel = jnp.einsum(
+        "btsk,bts->btk", scores_sk, onehot_local,
+        preferred_element_type=jnp.float32, precision=hi,
+    )
+    w = frame_weights
+    log_like = jax.nn.logsumexp(sel, axis=-1)                  # (B, T)
+    post = jax.nn.softmax(sel, axis=-1) * w[..., None]         # (B, T, K)
+
+    # per-local-state payload [occ | post (x) [x, x^2]] folded over t,
+    # then ONE exact one-hot scatter GEMM to the global pdf axis
+    xw1 = jnp.concatenate(
+        [jnp.ones(feats.shape[:2] + (1,), feats.dtype), feats,
+         jnp.square(feats)], axis=-1,
+    )                                                          # (B, T, 1+2D)
+    local = jnp.einsum(
+        "bts,btk,btq->bskq", onehot_local, post, xw1,
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                                          # (B, S, K, 1+2D)
+    scatter = jax.nn.one_hot(state_pdf, P, dtype=jnp.float32)  # (B, S, P)
+    out = jnp.einsum(
+        "bsp,bskq->pkq", scatter, local,
+        preferred_element_type=jnp.float32, precision=hi,
+    )                                                          # (P, K, 1+2D)
+    occ = out[..., 0]
+    mean_acc = out[..., 1:1 + D]
+    var_acc = out[..., 1 + D:]
+    # frames masked out (w=0) or with no matching state (padding tids)
+    # contribute 0 via onehot_local; log-like additionally masks by w
+    tot_log_like = jnp.sum(
+        jnp.where(onehot_local.sum(-1) > 0, log_like * w, 0.0)
+    )
+    tot_frames = jnp.sum(w)
+    return DenseStats(occ, mean_acc, var_acc, tot_log_like, tot_frames)
+
+
+@functools.partial(jax.jit, static_argnames=())
 def accumulate_am_stats_soft(
     gconsts: jnp.ndarray,        # (P, K)
     means_invvars: jnp.ndarray,  # (P, K, D)

@@ -256,3 +256,54 @@ def test_smooth_with_accum_zero_occupancy_branch():
     assert acc.occupancy[1] == 3.0  # untouched: source had no counts
     np.testing.assert_allclose(acc.mean_accumulator[0], 8.0 + 10.0 * 1.0)
     np.testing.assert_allclose(acc.mean_accumulator[1], -3.0)
+
+
+def test_local_path_matches_gemm_path():
+    """The local-state (S-factored) stats fold agrees with the standard
+    accumulate_am_stats: duplicate pdfs across states, masked frames,
+    padding states, and a padded mixture all covered."""
+    import jax
+
+    from khg_tpu.gmm.likelihoods import component_scores_per_state
+    from khg_tpu.stats.accum import accumulate_am_stats_local
+
+    rng = np.random.default_rng(11)
+    am = random_am(6, 5, rng, max_mix=3)
+    B, T, S = 3, 13, 4
+    feats = rng.standard_normal((B, T, 5)).astype(np.float32)
+    # per-utterance graph states with duplicate pdfs and a padding state
+    state_pdf = np.array(
+        [[0, 1, 1, 5], [2, 3, 2, 0], [4, 5, 0, 4]], dtype=np.int32
+    )
+    # alignments draw only from each utterance's graph states
+    pdf_seq = np.stack(
+        [state_pdf[b][rng.integers(0, S, T)] for b in range(B)]
+    ).astype(np.int32)
+    fw = (rng.random((B, T)) > 0.2).astype(np.float32)
+    model = am.pack()
+    args = (model.gconsts, model.means_invvars, model.inv_vars,
+            feats, pdf_seq, fw)
+
+    a = jax.tree.map(np.asarray, accumulate_am_stats(*args))
+    b = jax.tree.map(
+        np.asarray, accumulate_am_stats_local(*args, state_pdf=state_pdf)
+    )
+    np.testing.assert_allclose(b.occ, a.occ, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.mean_acc, a.mean_acc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(b.var_acc, a.var_acc, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(b.tot_log_like, a.tot_log_like, rtol=1e-5)
+    np.testing.assert_allclose(b.tot_frames, a.tot_frames)
+
+    # precomputed state_scores (the fused-E-step path) is identical
+    ssk = component_scores_per_state(
+        model.gconsts, model.means_invvars, model.inv_vars,
+        state_pdf, feats,
+    )
+    c = jax.tree.map(
+        np.asarray,
+        accumulate_am_stats_local(
+            *args, state_pdf=state_pdf, state_scores=ssk
+        ),
+    )
+    np.testing.assert_allclose(c.occ, b.occ, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(c.mean_acc, b.mean_acc, rtol=1e-6, atol=1e-6)
