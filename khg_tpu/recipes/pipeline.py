@@ -185,11 +185,14 @@ def _kahan_add(carry, comp, x):
 
 def _carry_fold(
     gconsts, miv, iv, bfeats, tids, lens, failed, id2pdf, total_cost,
-    carry, comp,
+    carry, comp, state_pdf=None, state_scores=None,
 ):
     """Traceable: fold one aligned batch's stats into the carry.
 
-    Shared by _hard_stats_carry and the fused per-batch E-step jits."""
+    Shared by _hard_stats_carry and the fused per-batch E-step jits.
+    Pass ``state_pdf`` (and the per-state component ``state_scores``
+    the scoring pass already produced) on wide models to fold through
+    the local-state path — O(S) not O(P) stats GEMMs."""
     import jax.numpy as jnp
 
     T = bfeats.shape[1]
@@ -197,7 +200,15 @@ def _carry_fold(
     fw = (
         (jnp.arange(T)[None, :] < lens[:, None]) & ok[:, None]
     ).astype(jnp.float32)
-    s = accumulate_am_stats(gconsts, miv, iv, bfeats, id2pdf[tids], fw)
+    if state_pdf is not None:
+        from khg_tpu.stats.accum import accumulate_am_stats_local
+
+        s = accumulate_am_stats_local(
+            gconsts, miv, iv, bfeats, id2pdf[tids], fw, state_pdf,
+            state_scores=state_scores,
+        )
+    else:
+        s = accumulate_am_stats(gconsts, miv, iv, bfeats, id2pdf[tids], fw)
     # transition counts on device: scatter-add of frame weights over
     # tids (tid 0 = padding/eps — zero it explicitly)
     counts = (
@@ -514,13 +525,18 @@ class EStepPipeline:
             from khg_tpu.align.pallas_banded import viterbi_align_banded
 
             if wide:
-                from khg_tpu.gmm.likelihoods import loglikes_per_state
+                from khg_tpu.gmm.likelihoods import (
+                    component_scores_per_state,
+                )
 
                 def step(gconsts, miv, iv, bfeats, lens, tables,
                          id2pdf, carry, comp):
-                    sac = loglikes_per_state(
+                    # ONE per-state component-score GEMM feeds the
+                    # alignment scoring AND the local-state stats fold
+                    ssk = component_scores_per_state(
                         gconsts, miv, iv, tables.state_pdf, bfeats
                     )
+                    sac = jax.nn.logsumexp(ssk, axis=-1)
                     res = viterbi_align_banded(
                         tables, offsets, None, lens, id2pdf,
                         acoustic_scale=acoustic_scale, block_b=block_b,
@@ -529,6 +545,7 @@ class EStepPipeline:
                     return _carry_fold(
                         gconsts, miv, iv, bfeats, res.tids, lens,
                         res.failed, id2pdf, res.total_cost, carry, comp,
+                        state_pdf=tables.state_pdf, state_scores=ssk,
                     )
             else:
 
@@ -805,17 +822,15 @@ class EStepPipeline:
             )
         return res, bfeats, lens
 
-    def _align_accumulate_carry(
-        self, model, packed_graphs, feats, gmm_accs, transition_accs,
-    ) -> AlignmentResult:
-        """Stats-only E-step: align every batch and fold its stats into
-        a device-resident compensated carry; ONE fetch for the whole
-        pass (see align_and_accumulate's docstring)."""
+    def _run_carry_fold_loop(self, gconsts, miv, iv, packed_graphs, feats):
+        """Dispatch the whole stats-only E-step: every batch's scoring +
+        Viterbi + stats fold into the device-resident compensated carry.
+        Returns the (carry, comp) device arrays WITHOUT fetching."""
         import jax
         import jax.numpy as jnp
 
-        P, K = model.gconsts.shape
-        D = model.means_invvars.shape[-1]
+        P, K = gconsts.shape
+        D = miv.shape[-1]
         num_tids = self.tm.num_transition_ids
         n = len(feats)
         order = sorted(range(n), key=lambda i: feats[i].shape[0])
@@ -826,35 +841,51 @@ class EStepPipeline:
         from khg_tpu.align.pallas_banded import EXTERNAL_AC_PDFS
 
         wide = int(self.id2pdf.max()) + 1 > EXTERNAL_AC_PDFS
+        for k, lo in enumerate(range(0, n, self.batch_size)):
+            idx = order[lo : lo + self.batch_size]
+            bfeats, lens, bt = self._batch_feats(idx, feats)
+            graphs, banded_args, state_pdf = self._batch_graphs(
+                idx, packed_graphs, bt
+            )
+            # scoring + Viterbi + stats fold: ONE dispatch per batch
+            if banded_args is not None:
+                fn = self._fused_carry_fn(banded_args, wide)
+                carry, comp = fn(
+                    gconsts, miv, iv, bfeats, lens, banded_args[0],
+                    self._id2pdf_dev(), carry, comp,
+                )
+            else:
+                fn = self._fused_carry_fn(None, False)
+                carry, comp = fn(
+                    gconsts, miv, iv, bfeats, lens, graphs, state_pdf,
+                    self._id2pdf_dev(), carry, comp,
+                )
+            if k % 128 == 127:
+                # bound the async dispatch queue (one RTT per 128
+                # batches; keeps host-side buffers from piling up on
+                # very large corpora)
+                jax.device_get(carry[-1])
+        return carry, comp
+
+    def _align_accumulate_carry(
+        self, model, packed_graphs, feats, gmm_accs, transition_accs,
+    ) -> AlignmentResult:
+        """Stats-only E-step: align every batch and fold its stats into
+        a device-resident compensated carry; ONE fetch for the whole
+        pass (see align_and_accumulate's docstring)."""
+        import jax
+
+        P, K = model.gconsts.shape
+        D = model.means_invvars.shape[-1]
+        num_tids = self.tm.num_transition_ids
+        n = len(feats)
         total_frames = sum(f.shape[0] for f in feats)
         t_pass0 = time.perf_counter()
         with self.counters.phase("align", frames=total_frames):
-            for k, lo in enumerate(range(0, n, self.batch_size)):
-                idx = order[lo : lo + self.batch_size]
-                bfeats, lens, bt = self._batch_feats(idx, feats)
-                graphs, banded_args, state_pdf = self._batch_graphs(
-                    idx, packed_graphs, bt
-                )
-                # scoring + Viterbi + stats fold: ONE dispatch per batch
-                if banded_args is not None:
-                    fn = self._fused_carry_fn(banded_args, wide)
-                    carry, comp = fn(
-                        model.gconsts, model.means_invvars,
-                        model.inv_vars, bfeats, lens, banded_args[0],
-                        self._id2pdf_dev(), carry, comp,
-                    )
-                else:
-                    fn = self._fused_carry_fn(None, False)
-                    carry, comp = fn(
-                        model.gconsts, model.means_invvars,
-                        model.inv_vars, bfeats, lens, graphs, state_pdf,
-                        self._id2pdf_dev(), carry, comp,
-                    )
-                if k % 128 == 127:
-                    # bound the async dispatch queue (one RTT per 128
-                    # batches; keeps host-side buffers from piling up on
-                    # very large corpora)
-                    jax.device_get(carry[-1])
+            carry, _comp = self._run_carry_fold_loop(
+                model.gconsts, model.means_invvars, model.inv_vars,
+                packed_graphs, feats,
+            )
             t_dispatched = time.perf_counter()
             flat = np.asarray(jax.device_get(carry), dtype=np.float64)
             t_fetched = time.perf_counter()
@@ -882,6 +913,144 @@ class EStepPipeline:
         return AlignmentResult(
             None, like_sum / self.acoustic_scale,
             num_done, num_error, frame_count,
+        )
+
+    # ------------------------------------------------- device-resident EM
+
+    def pack_model_device(self, am: AmDiagGmm):
+        """(gconsts, means_invvars, inv_vars, weights) device tuple for
+        device-resident EM passes (em_pass_resident)."""
+        import jax.numpy as jnp
+
+        m = self._pack_model(am)
+        P, K = m.gconsts.shape
+        w = np.zeros((P, K), dtype=np.float32)
+        for p in range(am.num_pdfs):
+            g = am.get_pdf(p)
+            w[p, : g.num_gauss] = g.weights
+        return (m.gconsts, m.means_invvars, m.inv_vars, jnp.asarray(w))
+
+    def apply_model_to_am(self, model, am: AmDiagGmm) -> None:
+        """Write a device-resident model back into the host AmDiagGmm —
+        the sync point for checkpoints, mix-up, and boost-silence.
+
+        The device M-step deactivates starved components (weight 0,
+        zeroed rows — the dense analogue of the reference's removal);
+        write-back drops them so the host model matches the reference's
+        post-removal shape."""
+        gconsts, miv, iv, w = (np.asarray(x) for x in model)
+        D = am.dim
+        for p in range(am.num_pdfs):
+            g = am.get_pdf(p)
+            k = g.num_gauss
+            keep = w[p, :k] > 0
+            if not keep.all():
+                g.resize(int(keep.sum()), D)
+            g.weights = w[p, :k][keep].astype(np.float32).copy()
+            g.inv_vars = iv[p, :k, :D][keep].astype(np.float32).copy()
+            g.means_invvars = (
+                miv[p, :k, :D][keep].astype(np.float32).copy()
+            )
+            g.valid_gconsts = False
+            g.compute_gconsts()
+
+    def _resident_finish_fn(self, P, K, D, num_tids, mle_config):
+        """Jitted pass finisher: slice the carry, run the device M-step,
+        emit the new model + a SMALL host packet (tid counts + summary
+        scalars).  The P*K*(2D+1) stats never leave the device."""
+        from khg_tpu.parallel.mesh import _dense_mstep, _mstep_kwargs
+
+        kw = _mstep_kwargs(mle_config)
+        vfv = kw.get("variance_floor_vector")
+        key = (
+            "finish", P, K, D, num_tids,
+            tuple(sorted(
+                (k, v) for k, v in kw.items()
+                if k != "variance_floor_vector"
+            )),
+            None if vfv is None else np.asarray(vfv).tobytes(),
+        )
+        fn = self._fused_jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        def finish(gconsts, miv, iv, weights, carry):
+            pk = P * K
+            pkd = P * K * D
+            occ = carry[:pk].reshape(P, K)
+            mean_acc = carry[pk : pk + pkd].reshape(P, K, D)
+            var_acc = carry[pk + pkd : pk + 2 * pkd].reshape(P, K, D)
+            off = pk + 2 * pkd
+            scalars = carry[off : off + 2]  # tot_log_like, tot_frames
+            counts = carry[off + 2 : off + 2 + num_tids + 1]
+            tail = carry[off + 2 + num_tids + 1 :]
+            new_model = _dense_mstep(
+                occ, mean_acc, var_acc, gconsts, miv, iv, weights, **kw
+            )
+            packet = jnp.concatenate([counts, scalars, tail])
+            return new_model, packet
+
+        fn = jax.jit(finish, donate_argnums=(4,))
+        self._fused_jit_cache[key] = fn
+        return fn
+
+    def em_pass_resident(
+        self,
+        model,
+        packed_graphs: Sequence[PackedGraph],
+        feats: Sequence[np.ndarray],
+        mle_config=None,
+    ):
+        """One full EM pass with the model DEVICE-RESIDENT: the carry
+        E-step folds every batch's stats on device, the M-step consumes
+        the carry in place, and the host fetches only the transition
+        counts + summary scalars (~num_tids floats, not the
+        P*K*(2D+1) stats — 42 MB at triphone scale, ~1.7 s through this
+        container's tunnel but milliseconds of device math).
+
+        Returns (new_model, tid_counts, AlignmentResult-with-None-
+        alignments).  ``new_model`` is the (gconsts, means_invvars,
+        inv_vars, weights) device tuple for the next pass; sync it to a
+        host AmDiagGmm with apply_model_to_am at checkpoint / mix-up /
+        boost-silence boundaries.  The transition-model update stays on
+        the host (counts are small): call tm.mle_update(counts) and
+        refresh_transition_costs between passes exactly as in the
+        host-driven loop.
+        """
+        import jax
+
+        gconsts, miv, iv, weights = model
+        P, K = gconsts.shape
+        D = miv.shape[-1]
+        num_tids = self.tm.num_transition_ids
+        total_frames = sum(f.shape[0] for f in feats)
+        with self.counters.phase("align", frames=total_frames):
+            carry, _comp = self._run_carry_fold_loop(
+                gconsts, miv, iv, packed_graphs, feats
+            )
+            finish = self._resident_finish_fn(P, K, D, num_tids, mle_config)
+            new_model, packet = finish(gconsts, miv, iv, weights, carry)
+            packet = np.asarray(
+                jax.device_get(packet), dtype=np.float64
+            )
+        counts = packet[: num_tids + 1]
+        tot_ll, tot_frames = packet[num_tids + 1 : num_tids + 3]
+        like_sum, num_done, num_error, frame_count = packet[num_tids + 3 :]
+        if num_error:
+            logger.warning(
+                "Alignment failed for %d of %d utterances",
+                int(round(num_error)), len(feats),
+            )
+        return (
+            new_model,
+            counts,
+            AlignmentResult(
+                None, like_sum / self.acoustic_scale,
+                int(round(num_done)), int(round(num_error)),
+                int(round(frame_count)),
+            ),
         )
 
     def align_and_accumulate(

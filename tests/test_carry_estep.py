@@ -167,3 +167,98 @@ def test_kahan_carry_precision_many_folds():
     kahan_err = abs(float(kahan) - exact)
     assert kahan_err <= ulp, (float(kahan), exact, ulp)
     assert kahan_err < abs(float(naive_seq) - exact) / 4.0
+
+
+def test_carry_wide_model_local_stats_matches(system, monkeypatch):
+    """The wide-model carry branch (per-state component scores feeding
+    BOTH the sac-mode banded Viterbi and the local-state stats fold)
+    produces the same accumulators as the per-batch reference path.
+    Forced by shrinking the EXTERNAL_AC_PDFS gate."""
+    import khg_tpu.align.pallas_banded as pb
+
+    monkeypatch.setattr(pb, "EXTERNAL_AC_PDFS", 1)  # everything is "wide"
+    corpus, result = system
+    am, tm = result.am, result.transition_model
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+        align_backend="banded",
+    )
+    packed = pipeline.pack_graphs(result.graphs)
+
+    ref = AccumAmDiagGmm()
+    ref.init(am, flags=GMM_ALL)
+    ref_t = tm.init_stats()
+    ref_res = pipeline.align_and_accumulate(
+        am, packed, corpus.feats, ref, ref_t
+    )
+
+    car = AccumAmDiagGmm()
+    car.init(am, flags=GMM_ALL)
+    car_t = tm.init_stats()
+    res = pipeline.align_and_accumulate(
+        am, packed, corpus.feats, car, car_t, return_alignments=False
+    )
+    assert res.num_done == ref_res.num_done
+    assert res.num_error == ref_res.num_error
+    assert math.isclose(res.tot_like, ref_res.tot_like, rel_tol=1e-5)
+    np.testing.assert_allclose(car_t, ref_t, rtol=0, atol=1e-3)
+    _accs_allclose(car, ref, am.num_pdfs)
+
+
+def test_em_pass_resident_matches_host_driven():
+    """Device-resident EM pass (stats never fetched; M-step on device;
+    small packet fetch) == host-driven carry accumulate + host MLE
+    update, including starved-component removal and the
+    apply_model_to_am write-back."""
+    from khg_tpu.est.mle import MleDiagGmmOptions, mle_am_diag_gmm_update
+
+    rng = np.random.default_rng(17)
+    from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+
+    lp, corpus = make_synthetic_corpus(num_utts=7, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=3, total_gauss=22, max_iter_inc=2,
+        realign_iters="1 2",
+    )
+    tm = result.transition_model
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+        align_backend="banded",
+    )
+    packed = pipeline.pack_graphs(result.graphs)
+    opts = MleDiagGmmOptions()
+
+    # host-driven reference: carry accumulate -> host MLE update
+    am_host = result.am.copy()
+    accs = AccumAmDiagGmm()
+    accs.init(am_host, flags=GMM_ALL)
+    tacc = tm.init_stats()
+    ref_res = pipeline.align_and_accumulate(
+        am_host, packed, corpus.feats, accs, tacc, return_alignments=False
+    )
+    mle_am_diag_gmm_update(opts, accs, 0b111, am_host)
+
+    # device-resident pass
+    am_dev = result.am.copy()
+    model = pipeline.pack_model_device(am_dev)
+    new_model, counts, res = pipeline.em_pass_resident(
+        model, packed, corpus.feats, mle_config=opts
+    )
+    assert res.num_done == ref_res.num_done
+    assert res.num_error == ref_res.num_error
+    assert res.frame_count == ref_res.frame_count
+    assert math.isclose(res.tot_like, ref_res.tot_like, rel_tol=1e-5)
+    np.testing.assert_allclose(counts, tacc, rtol=0, atol=1e-3)
+    pipeline.apply_model_to_am(new_model, am_dev)
+
+    for p in range(am_host.num_pdfs):
+        gh, gd = am_host.get_pdf(p), am_dev.get_pdf(p)
+        assert gh.num_gauss == gd.num_gauss, p
+        np.testing.assert_allclose(gd.weights, gh.weights,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(gd.inv_vars, gh.inv_vars,
+                                   rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(gd.means_invvars, gh.means_invvars,
+                                   rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(gd.gconsts, gh.gconsts,
+                                   rtol=1e-3, atol=2e-3)
