@@ -147,6 +147,18 @@ class LatticeFasterDecoder:
         assert backend in ("auto", "native", "python"), backend
         self.backend = backend
         self._packed_csr = None
+        self._packed_shape = None
+
+    def invalidate_graph_cache(self) -> None:
+        """Drop the native backend's packed-CSR snapshot of the graph.
+
+        The native path packs ``self.fst`` on first decode and re-packs
+        automatically when the state/arc COUNTS change; in-place weight
+        edits keep the counts, so call this after mutating arc weights
+        (fresh graphs per model update — the repo's own pattern — never
+        need it)."""
+        self._packed_csr = None
+        self._packed_shape = None
 
     def _use_native(self) -> bool:
         if self.backend == "python":
@@ -165,14 +177,23 @@ class LatticeFasterDecoder:
         acoustic_scale: float = 1.0,
         allow_partial: bool = True,
     ) -> Optional[Lattice]:
+        # acoustic scores are f32 on BOTH backends (they come off the
+        # device as f32; normalizing here keeps native == python exact
+        # even for float64 callers)
+        loglikes = np.ascontiguousarray(loglikes, dtype=np.float32)
         if self._use_native():
             from khg_tpu.decode.native_lattice import (
                 lattice_decode_native,
                 pack_fst_csr,
             )
 
-            if self._packed_csr is None:
+            # cheap staleness guard: re-pack when the graph's shape
+            # changed; decoders whose graph is mutated IN PLACE (weight
+            # edits) must call invalidate_graph_cache()
+            shape = (self.fst.num_states, self.fst.num_arcs)
+            if self._packed_csr is None or self._packed_shape != shape:
                 self._packed_csr = pack_fst_csr(self.fst)
+                self._packed_shape = shape
             cfg = self.config
             lat, max_live = lattice_decode_native(
                 self._packed_csr, loglikes, id2pdf, acoustic_scale,

@@ -225,6 +225,13 @@ def lattice_decode_native(
         1 if allow_partial else 0,
         ctypes.byref(buf),
     )
+    if rc == 2:
+        # np.partition would raise for this max_active/min_active vs the
+        # active-token count; mirror the Python path's exception
+        raise ValueError(
+            "max_active/min_active out of range for the active-token "
+            "count (np.partition index semantics)"
+        )
     if rc != 0:
         return None, 0
     try:

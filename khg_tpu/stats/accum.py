@@ -390,11 +390,15 @@ def accumulate_am_stats_local(
     mean_acc = out[..., 1:1 + D]
     var_acc = out[..., 1 + D:]
     # frames masked out (w=0) or with no matching state (padding tids)
-    # contribute 0 via onehot_local; log-like additionally masks by w
-    tot_log_like = jnp.sum(
-        jnp.where(onehot_local.sum(-1) > 0, log_like * w, 0.0)
-    )
-    tot_frames = jnp.sum(w)
+    # contribute 0 via onehot_local; log-like AND tot_frames use the
+    # same matched mask so occ.sum() == tot_frames stays invariant even
+    # if a caller feeds an alignment from a different graph (a w>0
+    # frame whose pdf is absent from state_pdf drops out of ALL outputs
+    # consistently; with graph-consistent alignments — the documented
+    # contract — matched == (w > 0) and this equals jnp.sum(w))
+    matched = onehot_local.sum(-1) > 0
+    tot_log_like = jnp.sum(jnp.where(matched, log_like * w, 0.0))
+    tot_frames = jnp.sum(jnp.where(matched, w, 0.0))
     return DenseStats(occ, mean_acc, var_acc, tot_log_like, tot_frames)
 
 

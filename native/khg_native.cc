@@ -632,9 +632,25 @@ struct LatticeDecoder {
         neg_scale * loglikes[static_cast<int64_t>(t) * P + id2pdf[il]]);
   }
 
+  // kth-smallest with numpy-partition index semantics: a negative kth
+  // wraps from the end (np.partition(costs, k)[k]); an index out of
+  // range after wrapping mirrors numpy's ValueError (signalled as NaN,
+  // caught by the caller).  The Python reference computes
+  // np.partition(costs, k - 1)[k - 1], which is well-defined for
+  // k = 0 (the max) — replicate rather than UB on begin() - 1.
+  static double KthPartition(std::vector<double> tmp, int64_t kth) {
+    int64_t n = static_cast<int64_t>(tmp.size());
+    if (kth < 0) kth += n;
+    if (kth < 0 || kth >= n)
+      return std::numeric_limits<double>::quiet_NaN();
+    std::nth_element(tmp.begin(), tmp.begin() + kth, tmp.end());
+    return tmp[kth];
+  }
+
   // GetCutoff semantics (lattice.py frame_cutoff / faster-decoder.cc
   // GetCutoff): beam cutoff, tightened to the max_active-th best when
   // over max_active, never pruning below min_active live tokens.
+  // Returns NaN for index-out-of-range configs (numpy would raise).
   double FrameCutoff(const TokenMap &tok) const {
     std::vector<double> costs;
     costs.reserve(tok.items.size());
@@ -643,15 +659,15 @@ struct LatticeDecoder {
     double cutoff = best + beam;
     int64_t n = static_cast<int64_t>(costs.size());
     if (max_active < n) {
-      std::vector<double> tmp = costs;
-      std::nth_element(tmp.begin(), tmp.begin() + (max_active - 1), tmp.end());
-      cutoff = std::min(cutoff, tmp[max_active - 1]);
+      double kth = KthPartition(costs, static_cast<int64_t>(max_active) - 1);
+      if (std::isnan(kth)) return kth;
+      cutoff = std::min(cutoff, kth);
     }
     if (min_active > 0) {
       if (n <= min_active) return kDInf;
-      std::vector<double> tmp = costs;
-      std::nth_element(tmp.begin(), tmp.begin() + (min_active - 1), tmp.end());
-      cutoff = std::max(cutoff, tmp[min_active - 1]);
+      double kth = KthPartition(costs, static_cast<int64_t>(min_active) - 1);
+      if (std::isnan(kth)) return kth;
+      cutoff = std::max(cutoff, kth);
     }
     return cutoff;
   }
@@ -868,10 +884,15 @@ int khg_lattice_decode(
 
   d.tokens.resize(T + 1);
   d.tokens[0].Set(start, 0.0);
-  d.EpsExpand(0, d.FrameCutoff(d.tokens[0]));
+  {
+    double c0 = d.FrameCutoff(d.tokens[0]);
+    if (std::isnan(c0)) return 2;  // numpy-raising partition index
+    d.EpsExpand(0, c0);
+  }
   for (int32_t t = 0; t < T; ++t) {
     if (d.tokens[t].empty()) return 1;
     double cutoff = d.FrameCutoff(d.tokens[t]);
+    if (std::isnan(cutoff)) return 2;
     // snapshot (Python: list(tokens[t].items())) — the emit stage only
     // writes frame t+1, so plain iteration is equivalent
     size_t n_now = d.tokens[t].items.size();
@@ -888,7 +909,9 @@ int khg_lattice_decode(
       }
     }
     if (d.tokens[t + 1].empty()) return 1;
-    d.EpsExpand(t + 1, d.FrameCutoff(d.tokens[t + 1]));
+    double next_cutoff = d.FrameCutoff(d.tokens[t + 1]);
+    if (std::isnan(next_cutoff)) return 2;
+    d.EpsExpand(t + 1, next_cutoff);
     d.max_live_links =
         std::max(d.max_live_links, static_cast<int64_t>(d.links.size()));
     if ((t + 1) % prune_interval == 0 && t + 1 < T) {

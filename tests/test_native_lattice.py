@@ -184,3 +184,71 @@ def test_auto_backend_uses_native(trained_and_graph):
     lp, corpus, result, hclg = trained_and_graph
     d = LatticeFasterDecoder(hclg)
     assert d._use_native()
+
+
+def test_float64_loglikes_same_lattice_both_backends(trained_and_graph):
+    """decode() normalizes loglikes to f32 for BOTH backends, so a
+    float64 caller gets identical lattices regardless of backend
+    (review finding: the native path cast to f32 while the Python path
+    computed f64 acoustics)."""
+    lp, corpus, result, hclg = trained_and_graph
+    tm = result.transition_model
+    id2pdf = tm.id2pdf_array()
+    packed = result.am.pack()
+    ll64 = loglikes_np(packed, corpus.feats[0]).astype(np.float64)
+    cfg = LatticeFasterDecoderConfig(beam=100.0, lattice_beam=8.0)
+    lat_n = LatticeFasterDecoder(hclg, cfg, backend="native").decode(
+        ll64, id2pdf, acoustic_scale=2.0
+    )
+    lat_p = LatticeFasterDecoder(hclg, cfg, backend="python").decode(
+        ll64, id2pdf, acoustic_scale=2.0
+    )
+    assert_lattices_identical(lat_n, lat_p)
+
+
+def test_max_active_zero_matches_python(trained_and_graph):
+    """max_active=0 hits np.partition's negative-index wrap (kth=-1 ->
+    the max): the native path must replicate it, not run UB on an
+    iterator before begin()."""
+    lp, corpus, result, hclg = trained_and_graph
+    tm = result.transition_model
+    id2pdf = tm.id2pdf_array()
+    packed = result.am.pack()
+    ll = loglikes_np(packed, corpus.feats[0])
+    cfg = LatticeFasterDecoderConfig(
+        beam=100.0, max_active=0, min_active=0, lattice_beam=8.0
+    )
+    lat_n = LatticeFasterDecoder(hclg, cfg, backend="native").decode(
+        ll, id2pdf, acoustic_scale=2.0
+    )
+    lat_p = LatticeFasterDecoder(hclg, cfg, backend="python").decode(
+        ll, id2pdf, acoustic_scale=2.0
+    )
+    assert_lattices_identical(lat_n, lat_p)
+
+
+def test_graph_cache_invalidation(trained_and_graph):
+    """The native CSR cache re-packs when the graph's shape changes and
+    on explicit invalidate_graph_cache() after in-place weight edits."""
+    lp, corpus, result, hclg = trained_and_graph
+    tm = result.transition_model
+    id2pdf = tm.id2pdf_array()
+    packed = result.am.pack()
+    ll = loglikes_np(packed, corpus.feats[0])
+    g = hclg.copy()
+    cfg = LatticeFasterDecoderConfig(beam=100.0, lattice_beam=8.0)
+    dn = LatticeFasterDecoder(g, cfg, backend="native")
+    dp = LatticeFasterDecoder(g, cfg, backend="python")
+    assert_lattices_identical(
+        dn.decode(ll, id2pdf, acoustic_scale=2.0),
+        dp.decode(ll, id2pdf, acoustic_scale=2.0),
+    )
+    # in-place weight mutation: explicit invalidation restores parity
+    for s in range(g.num_states):
+        for a in g.arcs[s]:
+            a.weight = a.weight * 1.5 + 0.01
+    dn.invalidate_graph_cache()
+    assert_lattices_identical(
+        dn.decode(ll, id2pdf, acoustic_scale=2.0),
+        dp.decode(ll, id2pdf, acoustic_scale=2.0),
+    )
