@@ -305,6 +305,7 @@ def sharded_em_step(
     banded_offsets: Optional[Tuple[int, ...]] = None,
     banded_interpret: bool = False,
     mle_config=None,
+    per_state: bool = False,
 ):
     """Build the jitted full EM step over the mesh.
 
@@ -319,6 +320,13 @@ def sharded_em_step(
     shard over "dp" exactly like the arc tables — the kernel is a
     per-shard drop-in, so the psum/M-step plumbing is unchanged.
 
+    ``per_state=True`` (requires ``banded_offsets``) is the wide-model
+    (triphone-scale) mode: ONE per-state component-score GEMM per shard
+    feeds both the sac-mode banded Viterbi and the local-state stats
+    fold — every stage's work scales with the graph-state count S, not
+    the pdf count P.  Same psum/M-step plumbing; scores differ from the
+    full-P formulation only by f32 GEMM rounding.
+
     Returns a function
       step(model (gconsts, miv, iv, weights), graphs (in_src, in_tid,
            in_pdf, in_cost, init_cost, final_cost) OR BandedGraphs,
@@ -332,20 +340,42 @@ def sharded_em_step(
     dp = P("dp")
     rep = P()
 
+    assert not per_state or banded_offsets is not None, (
+        "per_state mode needs the banded tables (state_pdf lives there)"
+    )
+
     def step(model, graphs, feats, num_frames, id2pdf):
         gconsts, miv, iv, weights = model
 
-        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        ssk = None
         if banded_offsets is not None:
             from khg_tpu.align.pallas_banded import viterbi_align_banded
 
-            res = viterbi_align_banded(
-                graphs, banded_offsets, ll, num_frames, id2pdf,
-                acoustic_scale=acoustic_scale,
-                block_b=min(32, graphs.plane_cost.shape[0]),
-                interpret=banded_interpret,
-            )
+            if per_state:
+                from khg_tpu.gmm.likelihoods import (
+                    component_scores_per_state,
+                )
+
+                ssk = component_scores_per_state(
+                    gconsts, miv, iv, graphs.state_pdf, feats
+                )
+                sac = jax.nn.logsumexp(ssk, axis=-1)
+                res = viterbi_align_banded(
+                    graphs, banded_offsets, None, num_frames, id2pdf,
+                    acoustic_scale=acoustic_scale,
+                    block_b=min(32, graphs.plane_cost.shape[0]),
+                    interpret=banded_interpret, sac=sac,
+                )
+            else:
+                ll = gmm_loglikes(gconsts, miv, iv, feats)
+                res = viterbi_align_banded(
+                    graphs, banded_offsets, ll, num_frames, id2pdf,
+                    acoustic_scale=acoustic_scale,
+                    block_b=min(32, graphs.plane_cost.shape[0]),
+                    interpret=banded_interpret,
+                )
         else:
+            ll = gmm_loglikes(gconsts, miv, iv, feats)
             state_pdf = graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
             res = viterbi_align_batch(
                 graphs, ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
@@ -357,9 +387,17 @@ def sharded_em_step(
             & ~res.failed[:, None]
         ).astype(jnp.float32)
         pdf_ids = id2pdf[res.tids]
-        stats = accumulate_am_stats(
-            gconsts, miv, iv, feats, pdf_ids, frame_weights
-        )
+        if per_state:
+            from khg_tpu.stats.accum import accumulate_am_stats_local
+
+            stats = accumulate_am_stats_local(
+                gconsts, miv, iv, feats, pdf_ids, frame_weights,
+                graphs.state_pdf, state_scores=ssk,
+            )
+        else:
+            stats = accumulate_am_stats(
+                gconsts, miv, iv, feats, pdf_ids, frame_weights
+            )
         # transition stats on device: scatter-add of frame weights over
         # tids (id2pdf has num_tids+1 entries; tid 0 is padding/eps and
         # carries weight 0 only via masked frames — zero it explicitly)

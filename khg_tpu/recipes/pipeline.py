@@ -992,7 +992,10 @@ class EStepPipeline:
             packet = jnp.concatenate([counts, scalars, tail])
             return new_model, packet
 
-        fn = jax.jit(finish, donate_argnums=(4,))
+        # no donation: none of the outputs matches the carry's shape,
+        # so donating it only produces "donated buffer not usable"
+        # warnings
+        fn = jax.jit(finish)
         self._fused_jit_cache[key] = fn
         return fn
 

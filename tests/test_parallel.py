@@ -375,3 +375,64 @@ def test_sharded_fb_banded_kernel_matches_xla():
         np.asarray(b.new_inv_vars), np.asarray(a.new_inv_vars),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_sharded_per_state_wide_mode():
+    """per_state=True (the wide-model sharded mode: per-state scoring +
+    sac-mode banded Viterbi + local-state stats fold, all per shard):
+    identical results on any mesh size, and agreement with the full-P
+    banded path up to f32 scoring rounding (tie-free on this trained
+    problem)."""
+    from khg_tpu.align.banded import band_renumber, pack_banded
+    from khg_tpu.align.packed import uniform_dest_pdf
+
+    problem = build_sharded_problem()
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    ren, _ = band_renumber(graphs)
+    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+
+    model = (
+        jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+        jnp.asarray(pm.inv_vars), jnp.asarray(weights),
+    )
+    args = (
+        jax.tree.map(jnp.asarray, banded),
+        jnp.asarray(feats), jnp.asarray(lens), jnp.asarray(id2pdf),
+    )
+
+    def run(n):
+        mesh = make_data_mesh(n, devices=jax.devices("cpu")[:n])
+        step = sharded_em_step(
+            mesh, acoustic_scale=0.5,
+            banded_offsets=offsets, banded_interpret=True, per_state=True,
+        )
+        return step(model, *args)
+
+    a, b = run(2), run(4)
+    # mesh-size invariance: alignments bitwise; stats to f32 grouping
+    # (the local fold's scatter GEMM contracts across the per-shard
+    # batch, so summation grouping differs between mesh sizes)
+    np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(b.tids))
+    for fa, fb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(fb), rtol=1e-5, atol=1e-5
+        )
+
+    # vs the full-P banded path: same alignments (trained model, no
+    # score ties), stats equal to f32 GEMM rounding
+    mesh = make_data_mesh(2, devices=jax.devices("cpu")[:2])
+    full = sharded_em_step(
+        mesh, acoustic_scale=0.5,
+        banded_offsets=offsets, banded_interpret=True,
+    )(model, *args)
+    np.testing.assert_array_equal(np.asarray(a.tids), np.asarray(full.tids))
+    np.testing.assert_allclose(
+        np.asarray(a.occ), np.asarray(full.occ), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.new_inv_vars), np.asarray(full.new_inv_vars),
+        rtol=2e-3, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        float(a.tot_log_like), float(full.tot_log_like), rtol=1e-5
+    )
