@@ -374,6 +374,53 @@ class LatticeSimpleDecoder(LatticeFasterDecoder):
         super().__init__(fst, cfg, backend=backend)
 
 
+def decode_utterances_parallel(
+    decoder: LatticeFasterDecoder,
+    loglikes_list,
+    id2pdf: np.ndarray,
+    acoustic_scale: float = 1.0,
+    allow_partial: bool = True,
+    max_workers: Optional[int] = None,
+) -> List[Tuple[bool, List[int], List[int], float]]:
+    """decode_utterance_lattice_faster over a test set, thread-parallel.
+
+    Utterance decodes are independent, and the native decoder releases
+    the GIL for the whole token-passing/pruning/best-path C call, so a
+    thread pool scales with host cores (the Python backend gains
+    nothing and runs serially).  Results are in input order, one
+    (success, tids, words, loglike) tuple per utterance.
+    """
+    if max_workers is None:
+        import os
+
+        max_workers = min(32, os.cpu_count() or 1)
+    if max_workers <= 1 or not decoder._use_native():
+        return [
+            decode_utterance_lattice_faster(
+                decoder, ll, id2pdf, acoustic_scale=acoustic_scale,
+                allow_partial=allow_partial,
+            )
+            for ll in loglikes_list
+        ]
+    # pack the CSR once up-front (the cache write is not thread-safe)
+    from khg_tpu.decode.native_lattice import pack_fst_csr
+
+    shape = (decoder.fst.num_states, decoder.fst.num_arcs)
+    if decoder._packed_csr is None or decoder._packed_shape != shape:
+        decoder._packed_csr = pack_fst_csr(decoder.fst)
+        decoder._packed_shape = shape
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(ll):
+        return decode_utterance_lattice_faster(
+            decoder, ll, id2pdf, acoustic_scale=acoustic_scale,
+            allow_partial=allow_partial,
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, loglikes_list))
+
+
 def decode_utterance_lattice_faster(
     decoder: LatticeFasterDecoder,
     loglikes: np.ndarray,

@@ -252,3 +252,30 @@ def test_graph_cache_invalidation(trained_and_graph):
         dn.decode(ll, id2pdf, acoustic_scale=2.0),
         dp.decode(ll, id2pdf, acoustic_scale=2.0),
     )
+
+
+def test_parallel_decode_matches_serial(trained_and_graph):
+    """Thread-parallel test-set decoding (native releases the GIL)
+    returns exactly the serial results, in input order."""
+    from khg_tpu.decode.lattice import (
+        decode_utterance_lattice_faster,
+        decode_utterances_parallel,
+    )
+
+    lp, corpus, result, hclg = trained_and_graph
+    tm = result.transition_model
+    id2pdf = tm.id2pdf_array()
+    packed = result.am.pack()
+    lls = [loglikes_np(packed, f) for f in corpus.feats]
+    d = LatticeFasterDecoder(
+        hclg, LatticeFasterDecoderConfig(beam=100.0, lattice_beam=8.0),
+        backend="native",
+    )
+    par = decode_utterances_parallel(
+        d, lls, id2pdf, acoustic_scale=2.0, max_workers=4
+    )
+    ser = [
+        decode_utterance_lattice_faster(d, ll, id2pdf, acoustic_scale=2.0)
+        for ll in lls
+    ]
+    assert par == ser
