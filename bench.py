@@ -377,12 +377,26 @@ def run_decode(problem, device, num_utts=16, warm=2):
             n_ok += ok
         return n_ok
 
+    def one_pass_parallel():
+        from khg_tpu.decode.lattice import decode_utterances_parallel
+
+        ll_all = np.asarray(score(dev_feats))
+        out = decode_utterances_parallel(
+            decoder, list(ll_all), id2pdf, acoustic_scale=0.1
+        )
+        return sum(ok for ok, *_ in out)
+
     assert one_pass() == num_utts
     for _ in range(warm - 1):
         one_pass()
     t0 = time.perf_counter()
     one_pass()
-    return (time.perf_counter() - t0) / audio_sec, backend
+    xrt = (time.perf_counter() - t0) / audio_sec
+    one_pass_parallel()
+    t0 = time.perf_counter()
+    assert one_pass_parallel() == num_utts
+    xrt_par = (time.perf_counter() - t0) / audio_sec
+    return xrt, xrt_par, backend
 
 
 def run_corpus_em_resident(problem, num_utts=512, passes=3):
@@ -518,9 +532,10 @@ def main():
         except Exception as e:
             print(f"corpus EM measurement failed: {e}", file=sys.stderr)
         try:
-            xrt, backend = run_decode(problem, default_dev)
+            xrt, xrt_par, backend = run_decode(problem, default_dev)
             extras["decode_lattice_xrt"] = round(xrt, 5)
             extras["decode_audio_sec_per_s"] = round(1.0 / xrt, 1)
+            extras["decode_parallel_xrt"] = round(xrt_par, 5)
             extras["decode_backend"] = backend
         except Exception as e:
             print(f"decode measurement failed: {e}", file=sys.stderr)

@@ -199,7 +199,7 @@ def main():
         from khg_tpu.decode.lattice import (
             LatticeFasterDecoder,
             LatticeFasterDecoderConfig,
-            decode_utterance_lattice_faster,
+            decode_utterances_parallel,
         )
         from khg_tpu.decode.wer import write_error_stats
         from khg_tpu.gmm.likelihoods import loglikes_np
@@ -214,12 +214,12 @@ def main():
         )
         id2pdf = tm.id2pdf_array()
         packed = am.pack()
+        lls = [loglikes_np(packed, corpus.feats[i]) for i in test_ids]
+        decoded = decode_utterances_parallel(
+            decoder, lls, id2pdf, acoustic_scale=2.0
+        )
         results = []
-        for i in test_ids:
-            ll = loglikes_np(packed, corpus.feats[i])
-            ok, tids, words, like = decode_utterance_lattice_faster(
-                decoder, ll, id2pdf, acoustic_scale=2.0
-            )
+        for i, (ok, tids, words, like) in zip(test_ids, decoded):
             hyp = [lp.id2word[w] for w in words] if ok else []
             results.append((corpus.utt_ids[i], corpus.word_seqs[i], hyp))
         with open(exp / "wer.txt", "w") as f:
