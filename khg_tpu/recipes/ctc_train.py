@@ -106,15 +106,15 @@ def train_ctc_gmm(
     """
     assert len(feats) == len(token_seqs) and feats, "need utterances"
     rng = np.random.default_rng(seed)
+    flat_started = am is None
     if am is None:
         am = ctc_flat_start(feats, vocab_size, perturb_factor, rng)
     assert am.num_pdfs == vocab_size
 
     id2pdf = ctc_id2pdf(vocab_size)
-    graphs = [
-        pack_graph(build_ctc_training_graph(list(t), vocab_size), id2pdf)
-        for t in token_seqs
-    ]
+    fsts = [build_ctc_training_graph(list(t), vocab_size)
+            for t in token_seqs]
+    graphs = [pack_graph(g, id2pdf) for g in fsts]
     arrays = pack_graph_batch(graphs, states_pad_to=8, indeg_pad_to=1)
     bfeats, lens = _batch_feats(feats)
     B, T, _ = bfeats.shape
@@ -125,16 +125,36 @@ def train_ctc_gmm(
     tids = None
     for it in range(num_passes):
         packed = am.pack(mix_pad_to=1)
-        ll = loglikes(packed.gconsts, packed.means_invvars,
-                      packed.inv_vars, bfeats)
-        res = viterbi_align_batch(
-            arrays, ll, lens, id2pdf, acoustic_scale=acoustic_scale
-        )
-        failed = np.asarray(res.failed)
+        if it == 0 and flat_started:
+            # Pass 0 on a flat-started model: EQUAL alignment, not Viterbi.
+            # Under the flat start every pdf scores (nearly) the same, so
+            # the first Viterbi path is decided by the tie-breaking
+            # perturbation and routinely lands EM in a permuted local
+            # optimum (the blank pdf capturing a token's frames).  The
+            # uniform-duration segmentation breaks the symmetry in the
+            # right direction, exactly as align-equal-compiled does for
+            # the reference's monophone flat start
+            # (/root/reference/egs/yesno/train.py:116-133).
+            tids = np.zeros((B, T), dtype=np.int32)
+            failed = np.zeros(B, dtype=bool)
+            from khg_tpu.fstlib.fst import equal_align
+            for i, (g, f) in enumerate(zip(fsts, feats)):
+                ea = equal_align(g, f.shape[0], rng)
+                if ea is None:
+                    failed[i] = True
+                    continue
+                tids[i, : f.shape[0]] = np.asarray(ea[0], dtype=np.int32)
+        else:
+            ll = loglikes(packed.gconsts, packed.means_invvars,
+                          packed.inv_vars, bfeats)
+            res = viterbi_align_batch(
+                arrays, ll, lens, id2pdf, acoustic_scale=acoustic_scale
+            )
+            failed = np.asarray(res.failed)
+            tids = np.asarray(res.tids)
         if failed.any():
             logger.warning("pass %d: %d utterances failed to align",
                            it, int(failed.sum()))
-        tids = np.asarray(res.tids)
         pdf_ids = id2pdf[tids]
         w = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
         w *= (~failed)[:, None].astype(np.float32)
