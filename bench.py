@@ -133,6 +133,112 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16,
     }
 
 
+def build_triphone_decode_problem(n_phones=26, n_words=40, mix=32, dim=80,
+                                  num_utts=16, words_per_utt=6,
+                                  frames_per_utt=420, seed=0):
+    """Triphone-scale DECODE problem: an N=3, P=1 tree whose leaves
+    depend on the left context (one pdf block per (phone, left) pair,
+    ~2.2k pdfs), a realistic multi-phone-word vocabulary, and synthetic
+    utterances sampled from the model along training-graph paths.
+
+    Returns a problem dict consumable by run_decode (the HCLG there is
+    built through decode/graph.build_hclg, which routes N=3 trees
+    through compose_context + the subsequential loop — the same
+    mechanism as /root/reference/egs/yesno/decode.py:100-141).
+    """
+    from khg_tpu.fstlib.fst import equal_align
+    from khg_tpu.gmm.am_gmm import AmDiagGmm
+    from khg_tpu.gmm.diag_gmm import DiagGmm
+    from khg_tpu.graph.compiler import TrainingGraphCompiler
+    from khg_tpu.lang.lexicon import Lexicon, Lexiconp
+    from khg_tpu.lang.lfst import make_lexicon_fst_with_silence
+    from khg_tpu.lang.topo import generate_hmm_topo
+    from khg_tpu.model.context_dep import ContextDependency
+    from khg_tpu.model.event_map import K_PDF_CLASS, TableEventMap
+    from khg_tpu.model.transition_model import TransitionModel
+
+    rng = np.random.default_rng(seed)
+    phones = [f"p{i:02d}" for i in range(n_phones)]
+    word2phones = {"<SIL>": ["SIL"]}
+    for i in range(n_words):
+        n = 3 + int(rng.integers(0, 2))
+        word2phones[f"W{i}"] = [
+            " ".join(phones[int(rng.integers(n_phones))] for _ in range(n))
+        ]
+    lp = Lexiconp.from_lexicon(Lexicon(word2phones=word2phones))
+    lp = lp.add_lex_disambig()
+    topo = generate_hmm_topo(
+        non_sil_phones=lp.get_non_sil_phone_ids(),
+        sil_phone=lp.get_sil_phone_id(),
+    )
+    npc = topo.get_phone_to_num_pdf_classes()
+    sil = lp.get_sil_phone_id()
+    max_phone = max(topo.phones)
+
+    next_pdf = [0]
+
+    def leaves(n_classes):
+        first = next_pdf[0]
+        next_pdf[0] += n_classes
+        return TableEventMap.from_answers(
+            K_PDF_CLASS, {c: first + c for c in range(n_classes)}
+        )
+
+    table = {}
+    for p in topo.phones:
+        if p == sil:
+            table[p] = leaves(npc[p])
+        else:
+            table[p] = TableEventMap(
+                0, {left: leaves(npc[p]) for left in range(max_phone + 1)}
+            )
+    tree = ContextDependency(N=3, P=1, to_pdf=TableEventMap(1, table))
+    tm = TransitionModel(ctx_dep=tree, hmm_topo=topo)
+    P = tree.num_pdfs
+
+    means = rng.normal(0.0, 3.0, size=(P, dim))
+    proto = DiagGmm(nmix=mix, dim=dim)
+    proto.set_weights(np.full(mix, 1.0 / mix))
+    proto.set_invvars_and_means(np.ones((mix, dim)), np.zeros((mix, dim)))
+    proto.compute_gconsts()
+    am = AmDiagGmm()
+    am.init(proto, P)
+    for p in range(P):
+        g = am.get_pdf(p)
+        g.set_invvars_and_means(
+            np.ones((mix, dim)),
+            means[p] + 0.25 * rng.standard_normal((mix, dim)),
+        )
+        g.compute_gconsts()
+
+    L = make_lexicon_fst_with_silence(lexiconp=lp, sil_prob=0.5,
+                                      sil_phone="SIL")
+    gc = TrainingGraphCompiler(tm, tree, L,
+                               disambig_syms=lp.disambig_phone_ids())
+    id2pdf = tm.id2pdf_array()
+    lm_words = [w for w in lp.word2id.values()
+                if w > 0 and not lp.id2word[w].startswith(("<", "#"))]
+    feats = np.zeros((num_utts, frames_per_utt, dim), dtype=np.float32)
+    for u in range(num_utts):
+        words = [lm_words[int(rng.integers(len(lm_words)))]
+                 for _ in range(words_per_utt)]
+        g = gc.compile_graph_from_text(words)
+        res = equal_align(g, frames_per_utt, rng)
+        assert res is not None
+        pdfs = id2pdf[np.asarray(res[0])]
+        feats[u] = means[pdfs] + 0.5 * rng.standard_normal(
+            (frames_per_utt, dim)
+        )
+
+    pm = am.pack(mix_pad_to=8, dim_pad_to=1)
+    return {
+        "model": (pm.gconsts, pm.means_invvars, pm.inv_vars),
+        "feats": feats,
+        "system": (lp, tm, tree, am, gc),
+        "num_pdfs": P,
+    }
+
+
 def estep_flops(problem):
     """Analytic FLOPs of one E-step (the two scoring GEMMs dominate;
     stats one-hot GEMMs included, DP/elementwise ignored)."""
@@ -610,6 +716,18 @@ def main():
             )
         except Exception as e:
             print(f"triphone measurement failed: {e}", file=sys.stderr)
+        try:
+            td = build_triphone_decode_problem()
+            xrt3, xrt3p, backend3 = run_decode(
+                td, default_dev, num_utts=td["feats"].shape[0]
+            )
+            extras["decode_triphone_xrt"] = round(xrt3, 5)
+            extras["decode_triphone_parallel_xrt"] = round(xrt3p, 5)
+            extras["decode_triphone_pdfs"] = td["num_pdfs"]
+            extras["decode_triphone_backend"] = backend3
+        except Exception as e:
+            print(f"triphone decode measurement failed: {e}",
+                  file=sys.stderr)
 
     rec = {
         "metric": "align+acc-stats throughput (audiomnist-scale monophone)",

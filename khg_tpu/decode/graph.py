@@ -4,8 +4,10 @@
   -> context expansion -> H ∘ CLG -> remove H-side disambig -> self-loops
 
 Mirrors the reference decode recipe (/root/reference/egs/yesno/decode.py:
-76-141) with reorder=False self-loops (as decode.py uses), monophone
-context for now.
+76-141) with reorder=False self-loops (as decode.py uses).  Handles
+general (N, P) context: trees with N > 1 go through compose_context with
+a subsequential loop when P != N-1 (exercised end-to-end by
+tests/test_triphone_decode.py with an N=3, P=1 tree).
 """
 
 from __future__ import annotations
