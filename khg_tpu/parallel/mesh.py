@@ -298,6 +298,57 @@ def _mstep_kwargs(mle_config) -> dict:
     )
 
 
+def _make_align_estep(
+    acoustic_scale: float,
+    uniform_dest_pdf: bool,
+    banded_offsets,
+    banded_interpret: bool,
+    per_state: bool,
+):
+    """Per-shard hard-EM alignment: (gconsts, miv, iv, graphs, feats,
+    num_frames, id2pdf) -> (ViterbiResult, per-state component scores or
+    None).  Shared by the per-batch sharded step and the resident fold."""
+
+    def align(gconsts, miv, iv, graphs, feats, num_frames, id2pdf):
+        ssk = None
+        if banded_offsets is not None:
+            from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+            if per_state:
+                from khg_tpu.gmm.likelihoods import (
+                    component_scores_per_state,
+                )
+
+                ssk = component_scores_per_state(
+                    gconsts, miv, iv, graphs.state_pdf, feats
+                )
+                sac = jax.nn.logsumexp(ssk, axis=-1)
+                res = viterbi_align_banded(
+                    graphs, banded_offsets, None, num_frames, id2pdf,
+                    acoustic_scale=acoustic_scale,
+                    block_b=min(32, graphs.plane_cost.shape[0]),
+                    interpret=banded_interpret, sac=sac,
+                )
+            else:
+                ll = gmm_loglikes(gconsts, miv, iv, feats)
+                res = viterbi_align_banded(
+                    graphs, banded_offsets, ll, num_frames, id2pdf,
+                    acoustic_scale=acoustic_scale,
+                    block_b=min(32, graphs.plane_cost.shape[0]),
+                    interpret=banded_interpret,
+                )
+        else:
+            ll = gmm_loglikes(gconsts, miv, iv, feats)
+            state_pdf = graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
+            res = viterbi_align_batch(
+                graphs, ll, num_frames, id2pdf,
+                acoustic_scale=acoustic_scale, state_pdf=state_pdf,
+            )
+        return res, ssk
+
+    return align
+
+
 def sharded_em_step(
     mesh: Mesh,
     acoustic_scale: float = 1.0,
@@ -344,43 +395,15 @@ def sharded_em_step(
         "per_state mode needs the banded tables (state_pdf lives there)"
     )
 
+    _align = _make_align_estep(
+        acoustic_scale, uniform_dest_pdf, banded_offsets,
+        banded_interpret, per_state,
+    )
+
     def step(model, graphs, feats, num_frames, id2pdf):
         gconsts, miv, iv, weights = model
-
-        ssk = None
-        if banded_offsets is not None:
-            from khg_tpu.align.pallas_banded import viterbi_align_banded
-
-            if per_state:
-                from khg_tpu.gmm.likelihoods import (
-                    component_scores_per_state,
-                )
-
-                ssk = component_scores_per_state(
-                    gconsts, miv, iv, graphs.state_pdf, feats
-                )
-                sac = jax.nn.logsumexp(ssk, axis=-1)
-                res = viterbi_align_banded(
-                    graphs, banded_offsets, None, num_frames, id2pdf,
-                    acoustic_scale=acoustic_scale,
-                    block_b=min(32, graphs.plane_cost.shape[0]),
-                    interpret=banded_interpret, sac=sac,
-                )
-            else:
-                ll = gmm_loglikes(gconsts, miv, iv, feats)
-                res = viterbi_align_banded(
-                    graphs, banded_offsets, ll, num_frames, id2pdf,
-                    acoustic_scale=acoustic_scale,
-                    block_b=min(32, graphs.plane_cost.shape[0]),
-                    interpret=banded_interpret,
-                )
-        else:
-            ll = gmm_loglikes(gconsts, miv, iv, feats)
-            state_pdf = graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
-            res = viterbi_align_batch(
-                graphs, ll, num_frames, id2pdf, acoustic_scale=acoustic_scale,
-                state_pdf=state_pdf,
-            )
+        res, ssk = _align(gconsts, miv, iv, graphs, feats, num_frames,
+                          id2pdf)
         T = feats.shape[1]
         frame_weights = (
             (jnp.arange(T)[None, :] < num_frames[:, None])
@@ -448,3 +471,148 @@ def sharded_em_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+class ShardedResidentEm(NamedTuple):
+    """Device-resident corpus EM over the mesh (see sharded_resident_em)."""
+
+    make_carry: object   # () -> (carry, comp), zeros sharded over dp
+    fold: object         # (model, carry, comp, graphs, feats, nf, id2pdf)
+    finish: object       # (model, carry, comp) -> (new_model, packet)
+    carry_width: int
+    num_tids: int
+
+
+def sharded_resident_em(
+    mesh: Mesh,
+    num_pdfs: int,
+    num_mix: int,
+    dim: int,
+    num_tids: int,
+    acoustic_scale: float = 1.0,
+    uniform_dest_pdf: bool = False,
+    banded_offsets: Optional[Tuple[int, ...]] = None,
+    banded_interpret: bool = False,
+    mle_config=None,
+    per_state: bool = False,
+) -> ShardedResidentEm:
+    """Multi-chip port of EStepPipeline.em_pass_resident: per-shard
+    Kahan carry fold across batches, ONE psum + ONE dense M-step per
+    corpus pass, model replicated and resident across passes, and a
+    counts-only fetch.
+
+    The per-batch sharded_em_step pays a psum + M-step + host sync per
+    BATCH; on a pod that re-introduces exactly the per-pass overhead the
+    single-chip resident path was built to kill (recipes/pipeline.py
+    em_pass_resident).  Here each shard folds its batches' stats into a
+    device-resident compensated carry (the same flat layout and
+    _kahan_add as the single-chip fold), and only ``finish`` runs the
+    collective: psum(carry) + psum(comp) over "dp", then the replicated
+    dense M-step, returning the new model tuple (stays on device for
+    the next pass) and the small packet (transition counts + summary
+    scalars) — the only thing the host ever fetches.
+
+    Usage per corpus pass:
+        carry, comp = r.make_carry()
+        for batch in batches:                # each sharded over dp
+            carry, comp = r.fold(model, carry, comp, *batch)
+        model, packet = r.finish(model, carry, comp)
+
+    Equality contract (exercised by tests/test_parallel.py and the
+    driver dryrun): final model == host-side _dense_mstep on the summed
+    per-batch psum stats of sharded_em_step, on any mesh size.
+    """
+    from jax import shard_map
+
+    from khg_tpu.align.banded import BandedGraphs
+    from khg_tpu.align.packed import BatchedGraphs
+    from khg_tpu.recipes.pipeline import _carry_fold, _carry_width
+
+    dp = P("dp")
+    rep = P()
+    n_dev = mesh.devices.size
+    W = _carry_width(num_pdfs, num_mix, dim, num_tids)
+
+    _align = _make_align_estep(
+        acoustic_scale, uniform_dest_pdf, banded_offsets,
+        banded_interpret, per_state,
+    )
+
+    def fold(model, carry, comp, graphs, feats, num_frames, id2pdf):
+        gconsts, miv, iv, _weights = model
+        res, ssk = _align(gconsts, miv, iv, graphs, feats, num_frames,
+                          id2pdf)
+        c, k = _carry_fold(
+            gconsts, miv, iv, feats, res.tids, num_frames, res.failed,
+            id2pdf, res.total_cost, carry[0], comp[0],
+            state_pdf=graphs.state_pdf if per_state else None,
+            state_scores=ssk,
+        )
+        return c[None], k[None]
+
+    graphs_spec = (
+        BandedGraphs(*([dp] * 5))
+        if banded_offsets is not None
+        else BatchedGraphs(*([dp] * 10))
+    )
+    fold_sharded = jax.jit(
+        shard_map(
+            fold,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), dp, dp, graphs_spec, dp, dp,
+                      rep),
+            out_specs=(dp, dp),
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2),
+    )
+
+    def finish(model, carry, comp):
+        gconsts, miv, iv, weights = model
+        # one collective per corpus pass: shard partial + its
+        # compensation reduce together (comp rides along so the summed
+        # total keeps the compensated precision of each shard's fold)
+        total = jax.lax.psum(carry[0], "dp") + jax.lax.psum(comp[0], "dp")
+        pk = num_pdfs * num_mix
+        pkd = pk * dim
+        occ = total[:pk].reshape(num_pdfs, num_mix)
+        mean_acc = total[pk : pk + pkd].reshape(num_pdfs, num_mix, dim)
+        var_acc = total[pk + pkd : pk + 2 * pkd].reshape(
+            num_pdfs, num_mix, dim
+        )
+        new_model = _dense_mstep(
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights,
+            **_mstep_kwargs(mle_config),
+        )
+        packet = total[pk + 2 * pkd :]  # [tot_ll, tot_frames, counts, tail]
+        return new_model, packet
+
+    finish_sharded = jax.jit(
+        shard_map(
+            finish,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), dp, dp),
+            out_specs=((rep, rep, rep, rep), rep),
+            check_vma=False,
+        )
+    )
+
+    def make_carry():
+        sharding = NamedSharding(mesh, P("dp"))
+        z = jnp.zeros((n_dev, W), jnp.float32)
+        return (jax.device_put(z, sharding), jax.device_put(z, sharding))
+
+    return ShardedResidentEm(
+        make_carry, fold_sharded, finish_sharded, W, num_tids
+    )
+
+
+def unpack_resident_packet(packet: np.ndarray, num_tids: int):
+    """Split a finish() packet into (tot_log_like, tot_frames,
+    tid_counts, like_sum, num_done, num_error, frame_count)."""
+    packet = np.asarray(packet, dtype=np.float64)
+    tot_ll, tot_frames = packet[0], packet[1]
+    counts = packet[2 : 2 + num_tids + 1]
+    like_sum, num_done, num_error, frame_count = packet[2 + num_tids + 1 :]
+    return (tot_ll, tot_frames, counts, like_sum, num_done, num_error,
+            frame_count)

@@ -436,3 +436,119 @@ def test_sharded_per_state_wide_mode():
     np.testing.assert_allclose(
         float(a.tot_log_like), float(full.tot_log_like), rtol=1e-5
     )
+
+
+def _split_batch(graphs, feats, lens, halves=2):
+    """Slice a batched problem into ``halves`` equal sub-batches."""
+    B = feats.shape[0]
+    assert B % halves == 0
+    n = B // halves
+    out = []
+    for h in range(halves):
+        sl = slice(h * n, (h + 1) * n)
+        out.append((
+            jax.tree.map(lambda a: jnp.asarray(a[sl]), graphs),
+            jnp.asarray(feats[sl]), jnp.asarray(lens[sl]),
+        ))
+    return out
+
+
+def test_sharded_resident_em_matches_per_batch():
+    """Device-resident corpus pass (per-shard Kahan fold across batches,
+    ONE psum + ONE dense M-step) == host-accumulated per-batch psum
+    stats + one M-step on the sum."""
+    from khg_tpu.parallel.mesh import (
+        _dense_mstep,
+        sharded_resident_em,
+        unpack_resident_packet,
+    )
+
+    problem = build_sharded_problem(num_utts=16, seed=3)
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    model = (
+        jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+        jnp.asarray(pm.inv_vars), jnp.asarray(weights),
+    )
+    P_, K = pm.gconsts.shape
+    D = pm.means_invvars.shape[-1]
+    num_tids = int(id2pdf.shape[0]) - 1
+    batches = _split_batch(graphs, feats, lens, halves=2)
+
+    mesh = make_data_mesh(2, devices=jax.devices("cpu")[:2])
+    r = sharded_resident_em(
+        mesh, P_, K, D, num_tids, acoustic_scale=0.5
+    )
+    carry, comp = r.make_carry()
+    for g, f, ln in batches:
+        carry, comp = r.fold(model, carry, comp, g, f, ln,
+                             jnp.asarray(id2pdf))
+    new_model, packet = r.finish(model, carry, comp)
+    (tot_ll, tot_frames, counts, like_sum, num_done, num_error,
+     frame_count) = unpack_resident_packet(np.asarray(packet), num_tids)
+
+    # host-driven reference: per-batch psummed stats summed on the host,
+    # one dense M-step on the total
+    step = sharded_em_step(mesh, acoustic_scale=0.5)
+    res = [step(model, g, f, ln, jnp.asarray(id2pdf))
+           for g, f, ln in batches]
+    occ = sum(np.asarray(x.occ, np.float64) for x in res)
+    mean_acc = sum(np.asarray(x.mean_acc, np.float64) for x in res)
+    var_acc = sum(np.asarray(x.var_acc, np.float64) for x in res)
+    ref_counts = sum(np.asarray(x.tid_counts, np.float64) for x in res)
+    ref_ll = sum(float(np.asarray(x.tot_log_like)) for x in res)
+    ref_frames = sum(float(np.asarray(x.tot_frames)) for x in res)
+    ref_model = jax.jit(_dense_mstep)(
+        jnp.asarray(occ, jnp.float32), jnp.asarray(mean_acc, jnp.float32),
+        jnp.asarray(var_acc, jnp.float32), *model,
+    )
+
+    np.testing.assert_allclose(counts, ref_counts, atol=1e-3)
+    assert math.isclose(tot_ll, ref_ll, rel_tol=1e-5)
+    assert tot_frames == ref_frames == lens.sum()
+    assert num_done == 16 and num_error == 0 and frame_count == lens.sum()
+    for got, ref in zip(new_model, ref_model):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_sharded_resident_em_mesh_invariance():
+    """The resident pass gives the same model and counts on any mesh
+    size, including the wide-model (per-state banded) mode."""
+    from khg_tpu.align.banded import band_renumber, pack_banded
+    from khg_tpu.align.packed import uniform_dest_pdf
+    from khg_tpu.parallel.mesh import sharded_resident_em
+
+    problem = build_sharded_problem(num_utts=8, seed=5)
+    lp, tm, am, pm, weights, graphs, feats, lens, id2pdf = problem
+    model = (
+        jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+        jnp.asarray(pm.inv_vars), jnp.asarray(weights),
+    )
+    P_, K = pm.gconsts.shape
+    D = pm.means_invvars.shape[-1]
+    num_tids = int(id2pdf.shape[0]) - 1
+    ren, _ = band_renumber(graphs)
+    banded, offsets = pack_banded(ren, uniform_dest_pdf(ren))
+
+    def run(n, wide):
+        mesh = make_data_mesh(n, devices=jax.devices("cpu")[:n])
+        kw = dict(banded_offsets=offsets, banded_interpret=True,
+                  per_state=True) if wide else {}
+        r = sharded_resident_em(
+            mesh, P_, K, D, num_tids, acoustic_scale=0.5, **kw
+        )
+        g = jax.tree.map(jnp.asarray, banded if wide else graphs)
+        carry, comp = r.make_carry()
+        carry, comp = r.fold(model, carry, comp, g, jnp.asarray(feats),
+                             jnp.asarray(lens), jnp.asarray(id2pdf))
+        new_model, packet = r.finish(model, carry, comp)
+        return new_model, np.asarray(packet)
+
+    for wide in (False, True):
+        (m2, p2), (m4, p4) = run(2, wide), run(4, wide)
+        np.testing.assert_allclose(p2, p4, rtol=1e-5, atol=1e-5)
+        for a, b in zip(m2, m4):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
