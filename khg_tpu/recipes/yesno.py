@@ -132,6 +132,56 @@ class TrainResult:
     avg_loglikes: List[float]
     alignments: List[Optional[List[int]]]
     info: Dict[str, int]
+    # total Gaussian count after each est step (initial est + one per
+    # pass) — the discrete mix-up/min-count/removal schedule
+    num_gauss_after_est: List[int] = None
+
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def det_split_noise(pass_idx: int, pdf: int, comp: int, dim: int) -> float:
+    """Deterministic uniform in [-0.5, 0.5) keyed by (pass, pdf,
+    component, dimension) — shared bit-for-bit with the reference-side
+    golden runner (tools/refgold/em_loop_runner.cc DetSplitNoise)."""
+    key = ((pass_idx + 1) << 40) ^ (pdf << 24) ^ (comp << 12) ^ dim
+    return (_splitmix64(key) >> 11) / 9007199254740992.0 - 0.5
+
+
+def apply_det_split_perturb(am, old_counts, eps: float, pass_idx: int):
+    """Perturb NEW components (indices >= the pre-split count) by
+    mean += eps * sqrt(var) * det_split_noise(...).
+
+    Run-level golden parity with split perturbation needs the SAME noise
+    on both sides, and the reference's own DiagGmm::Split draws from an
+    unseedable std::random_device (csrc/eigen.cc:34-46) — so both loops
+    apply this deterministic post-split perturbation instead.  At
+    perturb 0 the split twins sit on a symmetry ridge: long-horizon
+    trajectories then diverge on tie-breaking rounding noise alone
+    (measured in round 4; see docs/design.md)."""
+    if eps == 0.0:
+        return
+    for p in range(am.num_pdfs):
+        g = am.get_pdf(p)
+        changed = False
+        for k in range(old_counts[p], g.num_gauss):
+            mean = np.asarray(g.get_component_mean(k), dtype=np.float64)
+            var = np.asarray(g.get_component_variance(k), dtype=np.float64)
+            noise = np.array(
+                [det_split_noise(pass_idx, p, k, d)
+                 for d in range(mean.shape[0])]
+            )
+            g.set_component_mean(k, mean + eps * np.sqrt(var) * noise)
+            changed = True
+        if changed:
+            g.compute_gconsts()
 
 
 def train_yesno(
@@ -147,6 +197,7 @@ def train_yesno(
     seed: int = 3,
     perturb_factor: float = 0.01,
     checkpoint_dir: Optional[str] = None,
+    det_split_perturb: float = 0.0,
 ) -> TrainResult:
     from khg_tpu.utils.checkpoint import (
         latest_checkpoint,
@@ -169,6 +220,7 @@ def train_yesno(
         graphs = state["graphs"]
         alignments = state["alignments"]
         avg_loglikes = state["avg_loglikes"]
+        gauss_sched = state.get("num_gauss_after_est", [])
         num_gauss = state["num_gauss"]
         inc_gauss = state["inc_gauss"]
         start_iter = state["iter"] + 1
@@ -228,11 +280,14 @@ def train_yesno(
         )
 
         gmm_opts0 = MleDiagGmmOptions(min_gaussian_occupancy=3.0)
+        old_counts = [am.get_pdf(p).num_gauss for p in range(am.num_pdfs)]
         gmm_est(
             am, gmm_accs, tm, transition_accs,
             MleTransitionUpdateConfig(), gmm_opts0,
             mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
+        apply_det_split_perturb(am, old_counts, det_split_perturb, 0)
+        gauss_sched = [am.num_gauss]
 
     realign_set = set(realign_iters.split())
     packed_base = pipeline.pack_graphs_base(graphs)
@@ -261,11 +316,14 @@ def train_yesno(
         )
         avg_loglikes.append(tot / max(gmm_accs.tot_count, 1.0))
         logger.info("pass %d avg log-like/frame: %.4f", it + 1, avg_loglikes[-1])
+        old_counts = [am.get_pdf(p).num_gauss for p in range(am.num_pdfs)]
         gmm_est(
             am, gmm_accs, tm, transition_accs,
             MleTransitionUpdateConfig(), MleDiagGmmOptions(),
             mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
+        apply_det_split_perturb(am, old_counts, det_split_perturb, it + 1)
+        gauss_sched.append(am.num_gauss)
         if it < max_iter_inc:
             num_gauss += inc_gauss
         if checkpoint_dir is not None:
@@ -279,6 +337,7 @@ def train_yesno(
                     "graphs": graphs,
                     "alignments": alignments,
                     "avg_loglikes": avg_loglikes,
+                    "num_gauss_after_est": gauss_sched,
                     "num_gauss": num_gauss,
                     "inc_gauss": inc_gauss,
                     "rng_state": rng.bit_generator.state,
@@ -287,7 +346,8 @@ def train_yesno(
 
     info = gmm_info(am, tm)
     logger.info("final: %s", info)
-    return TrainResult(tm, tree, am, lp, graphs, avg_loglikes, alignments, info)
+    return TrainResult(tm, tree, am, lp, graphs, avg_loglikes,
+                       alignments, info, gauss_sched)
 
 
 def main():

@@ -53,11 +53,20 @@ g++ -O2 -std=c++17 \
   "$REF/kaldi-hmm-gmm/csrc/decodable-am-diag-gmm.cc" \
   -o "$OUT/em_loop_runner"
 python tools/refgold/make_em_problem.py tests/golden/em_problem.txt \
-  tests/golden/em_topo.txt
+  tests/golden/em_topo.txt toy
 "$OUT/em_loop_runner" tests/golden/em_problem.txt tests/golden/em_topo.txt \
   tests/golden/em_loop_golden.json
 python -m json.tool tests/golden/em_loop_golden.json > /dev/null \
   && echo "em loop golden JSON valid"
+
+# ... and at the reference's REAL yesno scale: 80 passes, its full
+# realign schedule, 30 mix-up increments, 10 utterances
+python tools/refgold/make_em_problem.py tests/golden/em_problem_long.txt \
+  tests/golden/em_topo_long.txt long
+"$OUT/em_loop_runner" tests/golden/em_problem_long.txt \
+  tests/golden/em_topo_long.txt tests/golden/em_loop_golden_long.json
+python -m json.tool tests/golden/em_loop_golden_long.json > /dev/null \
+  && echo "em loop golden (long) JSON valid"
 
 # lattice parity: reference LatticeFasterDecoderTpl over a khg_tpu HCLG
 g++ -O2 -std=c++17 -Dint32=int32_t \

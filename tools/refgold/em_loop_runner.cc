@@ -128,6 +128,60 @@ double AccStatsAli(const AmDiagGmm &am, const TransitionModel &tm,
   return log_like;
 }
 
+// Deterministic split perturbation, shared with khg_tpu
+// (recipes/yesno.py det_split_noise): DiagGmm::Split's own perturbation
+// draws from an unseedable std::random_device (csrc/eigen.cc:34-46), so
+// run-level parity with perturbation requires BOTH loops to apply the
+// same post-split noise.  splitmix64 of (pass, pdf, comp, dim) -> a
+// uniform in [-0.5, 0.5); new components (indices >= the pre-split
+// count) get mean += eps * sqrt(var) * u.  Without this, perturb=0
+// split twins sit on a symmetry ridge and 80-pass trajectories diverge
+// on tie-breaking rounding noise alone.
+uint64_t SplitMix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+double DetSplitNoise(int pass, int p, int k, int d) {
+  uint64_t key = (static_cast<uint64_t>(pass + 1) << 40) ^
+                 (static_cast<uint64_t>(p) << 24) ^
+                 (static_cast<uint64_t>(k) << 12) ^ static_cast<uint64_t>(d);
+  return static_cast<double>(SplitMix64(key) >> 11) / 9007199254740992.0 -
+         0.5;
+}
+
+void ApplyDetSplitPerturb(AmDiagGmm *am, const std::vector<int32_t> &old_n,
+                          float eps, int pass) {
+  if (eps == 0.0f) return;
+  for (int32_t p = 0; p < am->NumPdfs(); ++p) {
+    DiagGmm &g = am->GetPdf(p);
+    bool changed = false;
+    for (int32_t k = old_n[p]; k < g.NumGauss(); ++k) {
+      FloatVector mean = g.GetComponentMean(k);
+      FloatVector var = g.GetComponentVariance(k);
+      for (int32_t d = 0; d < mean.size(); ++d) {
+        mean(d) = static_cast<float>(
+            static_cast<double>(mean(d)) +
+            static_cast<double>(eps) *
+                std::sqrt(static_cast<double>(var(d))) *
+                DetSplitNoise(pass, p, k, d));
+      }
+      g.SetComponentMean(k, mean);
+      changed = true;
+    }
+    if (changed) g.ComputeGconsts();
+  }
+}
+
+std::vector<int32_t> PdfGaussCounts(const AmDiagGmm &am) {
+  std::vector<int32_t> n(am.NumPdfs());
+  for (int32_t p = 0; p < am.NumPdfs(); ++p)
+    n[p] = am.GetPdf(p).NumGauss();
+  return n;
+}
+
 // scripts/gmm_est.py with update_flags="mvwt", mixdown=0, perturb=0.
 void GmmEst(AmDiagGmm *am, AccumAmDiagGmm &gmm_accs, TransitionModel *tm,
             const DoubleVector &trans_accs, const MleDiagGmmOptions &gmm_opts,
@@ -199,6 +253,8 @@ int main(int argc, char **argv) {
       retry_beam;
   in >> acoustic_scale >> transition_scale >> self_loop_scale >> boost >>
       beam >> retry_beam;
+  float det_split_perturb = 0.0f;
+  in >> det_split_perturb;
   int num_iters, total_gauss, max_iter_inc, num_gauss;
   in >> num_iters >> total_gauss >> max_iter_inc >> num_gauss;
   int nri;
@@ -291,7 +347,9 @@ int main(int argc, char **argv) {
     pass_frames.push_back(static_cast<double>(frames));
     MleDiagGmmOptions opts0;
     opts0.min_gaussian_occupancy = 3.0;
+    std::vector<int32_t> old_n = PdfGaussCounts(am);
     GmmEst(&am, gmm_accs, &tm, trans_accs, opts0, num_gauss, 0.2f, 20.0f);
+    ApplyDetSplitPerturb(&am, old_n, det_split_perturb, /*pass=*/0);
     num_gauss_after_est.push_back(am.NumGauss());
   }
 
@@ -326,8 +384,10 @@ int main(int argc, char **argv) {
     }
     pass_avg_loglike.push_back(tot / frames);
     pass_frames.push_back(static_cast<double>(frames));
+    std::vector<int32_t> old_n = PdfGaussCounts(am);
     GmmEst(&am, gmm_accs, &tm, trans_accs, MleDiagGmmOptions(), num_gauss,
            0.2f, 20.0f);
+    ApplyDetSplitPerturb(&am, old_n, det_split_perturb, /*pass=*/it + 1);
     num_gauss_after_est.push_back(am.NumGauss());
     if (it < max_iter_inc) num_gauss += inc_gauss;
   }

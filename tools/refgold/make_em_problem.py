@@ -45,31 +45,71 @@ from khg_tpu.recipes.steps import gmm_info, gmm_init_mono  # noqa: E402
 from khg_tpu.recipes.yesno import make_synthetic_corpus  # noqa: E402
 
 # Shared by tests/test_em_loop_golden.py — the single source of truth for
-# the problem configuration.
-CORPUS_SEED = 1234
-NUM_UTTS = 6
-DIM = 6
-TRAIN_SEED = 3
-NUM_ITERS = 8
-REALIGN_ITERS = "1 2 4 6"
-TOTAL_GAUSS = 27
-MAX_ITER_INC = 4
+# the problem configurations.
+#
+# "toy": the original fast 8-pass config (kept: sub-second on both sides,
+#        red immediately on any semantic change).
+# "long": the reference's ACTUAL yesno training shape
+#         (/root/reference/egs/yesno/train.py:52-55,152-153): 80 passes,
+#         its full realign_iters schedule, 30 mix-up increments, 10
+#         utterances, boost=1.0, realistic feature dim — long-horizon
+#         interactions (mix-up increments compounding with min-occupancy
+#         removal and min-count split gating, late realigns on a drifted
+#         model) that the toy run cannot reach.  total_gauss=400 puts the
+#         schedule deep into min-count-capped territory on this corpus
+#         size, the same regime the reference's 1000-on-10-utts target
+#         produces.
+CONFIGS = {
+    "toy": dict(
+        corpus_seed=1234, num_utts=6, dim=6, train_seed=3, num_iters=8,
+        realign_iters="1 2 4 6", total_gauss=27, max_iter_inc=4,
+        boost=1.5, det_split_perturb=0.0,
+    ),
+    # det_split_perturb: the SHARED deterministic post-split perturbation
+    # (recipes/yesno.apply_det_split_perturb == em_loop_runner.cc
+    # ApplyDetSplitPerturb).  At perturb 0 the long run's split twins sit
+    # on a symmetry ridge and both loops' trajectories fork on rounding
+    # tie-breaks alone; the shared perturbation breaks the ridge
+    # IDENTICALLY on both sides, making 80-pass parity well-posed — and
+    # exercises the split-perturbation dynamics the toy config excludes.
+    "long": dict(
+        corpus_seed=1234, num_utts=10, dim=23, train_seed=3, num_iters=80,
+        realign_iters=(
+            "1 2 3 4 5 6 7 8 9 10 12 14 16 18 20 23 26 29 32 35 38 40 "
+            "42 44 46 49 52 55 58 60 65 70 75 78 79"
+        ),
+        total_gauss=400, max_iter_inc=30, boost=1.0,
+        det_split_perturb=0.05,
+    ),
+}
+
+# toy-config aliases (back-compat for existing imports)
+CORPUS_SEED = CONFIGS["toy"]["corpus_seed"]
+NUM_UTTS = CONFIGS["toy"]["num_utts"]
+DIM = CONFIGS["toy"]["dim"]
+TRAIN_SEED = CONFIGS["toy"]["train_seed"]
+NUM_ITERS = CONFIGS["toy"]["num_iters"]
+REALIGN_ITERS = CONFIGS["toy"]["realign_iters"]
+TOTAL_GAUSS = CONFIGS["toy"]["total_gauss"]
+MAX_ITER_INC = CONFIGS["toy"]["max_iter_inc"]
+BOOST = CONFIGS["toy"]["boost"]
 ACOUSTIC_SCALE = 0.1
 TRANSITION_SCALE = 1.0
 SELF_LOOP_SCALE = 0.1
-BOOST = 1.5
 BEAM = 1.0e6  # exact search on both sides: pins loop semantics, not pruning
 RETRY_BEAM = 0.0
 
 
-def build_system():
+def build_system(cfg=None):
     """The exact object set tests/test_em_loop_golden.py's train_yesno call
     constructs internally: same corpus seed, same rng consumption order as
     khg_tpu/recipes/yesno.py train_yesno's fresh-start path."""
+    cfg = cfg or CONFIGS["toy"]
     lp, corpus = make_synthetic_corpus(
-        num_utts=NUM_UTTS, dim=DIM, rng=np.random.default_rng(CORPUS_SEED)
+        num_utts=cfg["num_utts"], dim=cfg["dim"],
+        rng=np.random.default_rng(cfg["corpus_seed"]),
     )
-    rng = np.random.default_rng(TRAIN_SEED)
+    rng = np.random.default_rng(cfg["train_seed"])
     topo = generate_hmm_topo(
         non_sil_phones=lp.get_non_sil_phone_ids(),
         sil_phone=lp.get_sil_phone_id(),
@@ -101,8 +141,9 @@ def f32(x) -> str:
     return repr(float(np.float32(x)))
 
 
-def main(problem_path: str, topo_path: str) -> None:
-    lp, corpus, topo, tm, tree, am, graphs, alignments = build_system()
+def main(problem_path: str, topo_path: str, config: str = "toy") -> None:
+    cfg = CONFIGS[config]
+    lp, corpus, topo, tm, tree, am, graphs, alignments = build_system(cfg)
     Path(topo_path).write_text(topo.write())
 
     pdf0 = am.get_pdf(0)
@@ -111,16 +152,16 @@ def main(problem_path: str, topo_path: str) -> None:
     info = gmm_info(am, tm)
 
     lines = []
-    lines.append(f"{DIM} {len(corpus.feats)} {lp.get_sil_phone_id()}")
+    lines.append(f"{cfg['dim']} {len(corpus.feats)} {lp.get_sil_phone_id()}")
     lines.append(
         f"{ACOUSTIC_SCALE} {TRANSITION_SCALE} {SELF_LOOP_SCALE} "
-        f"{BOOST} {BEAM} {RETRY_BEAM}"
+        f"{cfg['boost']} {BEAM} {RETRY_BEAM} {cfg['det_split_perturb']}"
     )
     lines.append(
-        f"{NUM_ITERS} {TOTAL_GAUSS} {MAX_ITER_INC} "
+        f"{cfg['num_iters']} {cfg['total_gauss']} {cfg['max_iter_inc']} "
         f"{info['number_of_gaussians']}"
     )
-    ri = REALIGN_ITERS.split()
+    ri = cfg["realign_iters"].split()
     lines.append(str(len(ri)) + " " + " ".join(ri))
     lines.append(" ".join(repr(float(v)) for v in means))
     lines.append(" ".join(repr(float(v)) for v in variances))
@@ -151,10 +192,11 @@ def main(problem_path: str, topo_path: str) -> None:
 
     Path(problem_path).write_text("\n".join(lines) + "\n")
     print(
-        f"wrote {problem_path}: {len(corpus.feats)} utts, D={DIM}, "
-        f"init num_gauss={info['number_of_gaussians']}"
+        f"wrote {problem_path} ({config}): {len(corpus.feats)} utts, "
+        f"D={cfg['dim']}, init num_gauss={info['number_of_gaussians']}"
     )
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else "toy")
