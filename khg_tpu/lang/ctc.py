@@ -79,7 +79,37 @@ def build_hl_graph(
     Mirrors the reference's CTC decode flow
     (/root/reference/scripts/test_ctc_topo.py:64-176).
     """
-    from khg_tpu.fstlib.fst import compose, determinize_star
+    return build_hlg_graph(
+        max_token_id, lexicon_fst, None, disambig_start, disambig_end
+    )
+
+
+def build_hlg_graph(
+    max_token_id: int,
+    lexicon_fst,
+    G,
+    disambig_start: int = 0,
+    disambig_end: int = -1,
+):
+    """HLG = CTC topology ∘ det(L ∘ G): token posteriors -> LM-weighted
+    words.  ``G`` is a word-level acceptor (e.g. decode.arpa.arpa_to_fst
+    output); pass None for the no-LM HL graph.  Same label contract as
+    build_hl_graph (input side +1-shifted, use ``ctc_id2pdf``).
+
+    Mirrors the reference's HLG decode construction
+    (/root/reference/scripts/test_ctc_topo.py:64-176) minus the context
+    expansion CTC does not need.
+    """
+    from khg_tpu.fstlib.fst import DeterminizeError, compose, determinize_star
+
+    right = lexicon_fst.copy()
+    if G is not None:
+        right.arcsort("olabel")
+        Gs = G.copy()
+        Gs.arcsort("ilabel")
+        right = compose(right, Gs)
+        assert right.start != -1, "empty LG (word symbol mismatch?)"
+        right = determinize_star(right, semiring="log")
 
     topo = build_standard_ctc_topo(max_token_id)
     for arcs in topo.arcs:
@@ -87,12 +117,20 @@ def build_hl_graph(
             a.ilabel += 1  # input-side shift only
     if disambig_end >= disambig_start and disambig_end > 0:
         add_disambig_self_loops(topo, disambig_start, disambig_end)
-    L = lexicon_fst.copy()
-    L.arcsort("ilabel")
+    right.arcsort("ilabel")
     topo.arcsort("olabel")
-    hl = compose(topo, L)
+    hl = compose(topo, right)
     assert hl.start != -1, "empty HL (token/lexicon symbol mismatch?)"
-    hl = determinize_star(hl, semiring="log")
+    try:
+        # size optimization only, so cap the subset expansion: with an
+        # LM on the right the weighted cycles of topo ∘ LG need not be
+        # log-determinizable, and the decoders handle nondeterministic
+        # input graphs directly
+        hl = determinize_star(
+            hl, semiring="log", max_states=20 * max(hl.num_states, 1)
+        )
+    except DeterminizeError:
+        pass
     return hl
 
 

@@ -124,3 +124,27 @@ def test_ctc_trained_gmm_decodes_words_through_hl():
         assert out is not None
         _, words, _, _ = out
         assert [lp.id2word[w] for w in words] == words_ref
+
+
+def test_ctc_recipe_staged_wer(tmp_path):
+    """The staged CTC recipe (egs/ctc_synth/run.py): synth corpus ->
+    CTC EM with mix-up -> HLG (topo ∘ det(L ∘ G)) decode of HELD-OUT
+    audio -> WER.  Stages are resumable: rerunning from stage 2 reuses
+    the saved model and reproduces the same WER."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                           / "egs" / "ctc_synth"))
+    import run as ctc_run
+
+    exp = tmp_path / "exp"
+    wer = ctc_run.main([
+        "--exp-dir", str(exp), "--num-train", "24", "--num-test", "6",
+        "--num-passes", "8",
+    ])
+    assert wer == 0.0, wer
+    assert (exp / "wer.txt").exists()
+    # stage re-entry: decode-only from saved artifacts
+    wer2 = ctc_run.main(["--exp-dir", str(exp), "--stage", "2"])
+    assert wer2 == wer
