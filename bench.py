@@ -635,6 +635,21 @@ def main():
                 extras["tunnel_rtt_ms"] = round(
                     em_timings.get("bare_rtt_s", 0) * 1e3, 1
                 )
+            # VERDICT r3 item 6a: the RTT-amortized number as a JSON key,
+            # not just BENCH.md prose.  The end-of-pass fetch wall
+            # OVERLAPS the async-dispatched device compute, so no
+            # subtraction recovers the co-located-host time; instead
+            # MEASURE a 4x corpus, which amortizes the one irreducible
+            # tunnel round-trip per pass over 4x the compute (BENCH.md
+            # round-3 breakdown: the residual vs raw is exactly that
+            # RTT).
+            em4_secs, _ = run_corpus_em(num_utts=4096)
+            extras["corpus_em_pass_4096utt_audio_sec_per_s"] = round(
+                4096 * frames / 100.0 / em4_secs, 1
+            )
+            extras["corpus_em_pass_4096utt_pct_of_raw"] = round(
+                100.0 * (4096 * frames / 100.0 / em4_secs) / value, 1
+            )
         except Exception as e:
             print(f"corpus EM measurement failed: {e}", file=sys.stderr)
         try:
