@@ -109,6 +109,14 @@ def loglikes_pallas(
     precision = (
         None if compute_dtype == "bfloat16" else jax.lax.Precision.HIGHEST
     )
+    # Measured bound at triphone scale (BENCH.md round 4): ~9.7 ms bf16
+    # for the P=2051, K=32 bench config, identical under either grid
+    # order (a P-outer variant that streams the model once was A/B'd
+    # dead even — the pipeliner is not model-bandwidth-bound).  The
+    # structural floor is ~3.5 ms of PADDED GEMM (the 2D=160 contraction
+    # pads to 256 on the 128-deep MXU) plus ~1.3e9 elements of epilogue
+    # VPU work (max/exp over every (N, P*K) score plus the group-sum
+    # dot) that the logsumexp-over-K semantics require.
     grid = (Np // tn, Pp // tp)
     out = pl.pallas_call(
         functools.partial(_loglikes_kernel, precision=precision),
