@@ -473,22 +473,27 @@ def run_decode(problem, device, num_utts=16, warm=2):
     score = jax.jit(lambda f: gmm_loglikes(gconsts, miv, iv, f))
     np.asarray(score(dev_feats))  # compile + warm
 
-    def one_pass():
-        ll_all = np.asarray(score(dev_feats))  # device GEMM + fetch
+    from khg_tpu.decode.score_stream import stream_scores
+
+    def one_pass(fetch_dtype=None):
+        # per-utterance fetches streamed behind the host decode (at
+        # wide-model scale the f32 score tensor is ~59 MB and the
+        # tunnel transfer dominated the serialized measurement)
         n_ok = 0
-        for u in range(feats.shape[0]):
+        for ll in stream_scores(score(dev_feats), fetch_dtype=fetch_dtype):
             ok, tids, words, _ = decode_utterance_lattice_faster(
-                decoder, ll_all[u], id2pdf, acoustic_scale=0.1
+                decoder, ll, id2pdf, acoustic_scale=0.1
             )
             n_ok += ok
         return n_ok
 
-    def one_pass_parallel():
+    def one_pass_parallel(fetch_dtype=None):
         from khg_tpu.decode.lattice import decode_utterances_parallel
 
-        ll_all = np.asarray(score(dev_feats))
         out = decode_utterances_parallel(
-            decoder, list(ll_all), id2pdf, acoustic_scale=0.1
+            decoder,
+            stream_scores(score(dev_feats), fetch_dtype=fetch_dtype),
+            id2pdf, acoustic_scale=0.1,
         )
         return sum(ok for ok, *_ in out)
 
@@ -502,7 +507,14 @@ def run_decode(problem, device, num_utts=16, warm=2):
     t0 = time.perf_counter()
     assert one_pass_parallel() == num_utts
     xrt_par = (time.perf_counter() - t0) / audio_sec
-    return xrt, xrt_par, backend
+    # half-width score fetch (word outputs pinned unchanged by
+    # tests/test_score_stream.py): the option that matters when the
+    # host link, not the decoder, is the wall
+    one_pass_parallel(fetch_dtype="float16")
+    t0 = time.perf_counter()
+    assert one_pass_parallel(fetch_dtype="float16") == num_utts
+    xrt_par16 = (time.perf_counter() - t0) / audio_sec
+    return xrt, xrt_par, xrt_par16, backend
 
 
 def run_corpus_em_resident(problem, num_utts=512, passes=3):
@@ -653,10 +665,13 @@ def main():
         except Exception as e:
             print(f"corpus EM measurement failed: {e}", file=sys.stderr)
         try:
-            xrt, xrt_par, backend = run_decode(problem, default_dev)
+            xrt, xrt_par, xrt_par16, backend = run_decode(
+                problem, default_dev
+            )
             extras["decode_lattice_xrt"] = round(xrt, 5)
             extras["decode_audio_sec_per_s"] = round(1.0 / xrt, 1)
             extras["decode_parallel_xrt"] = round(xrt_par, 5)
+            extras["decode_parallel_f16_xrt"] = round(xrt_par16, 5)
             extras["decode_backend"] = backend
         except Exception as e:
             print(f"decode measurement failed: {e}", file=sys.stderr)
@@ -733,11 +748,12 @@ def main():
             print(f"triphone measurement failed: {e}", file=sys.stderr)
         try:
             td = build_triphone_decode_problem()
-            xrt3, xrt3p, backend3 = run_decode(
+            xrt3, xrt3p, xrt3p16, backend3 = run_decode(
                 td, default_dev, num_utts=td["feats"].shape[0]
             )
             extras["decode_triphone_xrt"] = round(xrt3, 5)
             extras["decode_triphone_parallel_xrt"] = round(xrt3p, 5)
+            extras["decode_triphone_parallel_f16_xrt"] = round(xrt3p16, 5)
             extras["decode_triphone_pdfs"] = td["num_pdfs"]
             extras["decode_triphone_backend"] = backend3
         except Exception as e:

@@ -82,6 +82,10 @@ from khg_tpu.decode.lattice import (
     LatticeSimpleDecoder,
     decode_utterance_lattice_faster,
 )
+from khg_tpu.decode.score_stream import (
+    decode_scores_streamed,
+    stream_scores,
+)
 from khg_tpu.decode.decodable import DecodableAmDiagGmmScaled, DecodableCtc
 from khg_tpu.model.kaldi_binary import (
     load_transition_model,
