@@ -396,7 +396,7 @@ VMEM_BUDGET = 60 * 2**20
 
 def pick_block_b(
     vmem_fn, B: int, DK: int, S0: int, T: int, P: int,
-    max_block_b: int = 32, budget: int = VMEM_BUDGET,
+    max_block_b: int = 64, budget: int = VMEM_BUDGET,
 ):
     """Largest power-of-two block_b <= max_block_b whose estimated VMEM
     footprint fits ``budget``, or None if even block_b=1 does not
