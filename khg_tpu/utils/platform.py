@@ -2,24 +2,50 @@
 
 Some TPU environments pre-select an experimental platform via config
 (e.g. ``jax_platforms="axon,cpu"`` set by a sitecustomize hook) whose
-plugin registration can fail transiently; JAX then raises "Backend ...
-is not in the list of known backends" instead of falling back.  Entry
-points call ensure_backend() to recover onto whatever backend exists.
+plugin registration can fail transiently; JAX then either raises
+"Backend ... is not in the list of known backends" or silently lands on
+the cpu entry of the list.  A one-shot check therefore turns a
+transient tunnel blip into a whole CPU benchmark run (observed round 4:
+a full bench.py recorded the cpu fallback while the chip was reachable
+again seconds later).  Entry points call ensure_backend() to recover
+onto the best backend that exists, with bounded retries when an
+accelerator was configured but initialization landed on cpu.
 """
 
 from __future__ import annotations
 
 import logging
+import time
 
 logger = logging.getLogger(__name__)
 
 
-def ensure_backend() -> str:
+def _clear_backends() -> None:
+    """Best-effort reset of JAX's backend cache so the next devices()
+    call re-runs platform initialization."""
+    try:
+        from jax._src import xla_bridge
+
+        xla_bridge._clear_backends()
+    except Exception:  # pragma: no cover - version-dependent internals
+        try:
+            import jax
+
+            jax.clear_backends()
+        except Exception:
+            pass
+
+
+def ensure_backend(retry_tpu: int = 3, retry_wait_s: float = 5.0) -> str:
     """Initialize a usable JAX backend, falling back to auto-selection.
 
     KHG_PLATFORM=cpu (etc.) overrides the platform list — unlike
     JAX_PLATFORMS it wins over sitecustomize hooks that pre-set
     jax_platforms, because it is applied via jax.config *after* import.
+
+    If an accelerator platform is configured (e.g. "axon,cpu") but
+    initialization lands on cpu, retries up to ``retry_tpu`` times with
+    ``retry_wait_s`` between attempts before accepting the fallback.
 
     Returns the platform name of the default device.
     """
@@ -30,11 +56,32 @@ def ensure_backend() -> str:
     forced = os.environ.get("KHG_PLATFORM")
     if forced:
         jax.config.update("jax_platforms", forced)
-    try:
-        return jax.devices()[0].platform
-    except RuntimeError as e:
+
+    def _default_platform() -> str:
+        try:
+            return jax.devices()[0].platform
+        except RuntimeError as e:
+            logger.warning(
+                "default platform unavailable (%s); "
+                "falling back to auto-select", e,
+            )
+            jax.config.update("jax_platforms", "")
+            return jax.devices()[0].platform
+
+    plat = _default_platform()
+    cfg = jax.config.jax_platforms or ""
+    wants_accel = any(
+        p and p != "cpu" for p in cfg.replace(" ", "").split(",")
+    )
+    attempt = 0
+    while plat == "cpu" and wants_accel and attempt < retry_tpu:
+        attempt += 1
         logger.warning(
-            "default platform unavailable (%s); falling back to auto-select", e
+            "accelerator configured (%s) but initialization landed on "
+            "cpu; retrying (%d/%d) in %.0fs",
+            cfg, attempt, retry_tpu, retry_wait_s,
         )
-        jax.config.update("jax_platforms", "")
-        return jax.devices()[0].platform
+        time.sleep(retry_wait_s)
+        _clear_backends()
+        plat = _default_platform()
+    return plat

@@ -46,3 +46,15 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_ensure_backend_no_retry_when_cpu_configured(monkeypatch):
+    # the retry loop must not fire when cpu is what was asked for
+    # (test processes force jax_platforms=cpu in conftest)
+    import time as _time
+
+    from khg_tpu.utils.platform import ensure_backend
+
+    t0 = _time.perf_counter()
+    assert ensure_backend(retry_tpu=3, retry_wait_s=30.0) == "cpu"
+    assert _time.perf_counter() - t0 < 5.0  # no 30 s retry sleeps
