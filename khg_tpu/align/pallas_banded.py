@@ -393,19 +393,53 @@ def banded_vmem_bytes(
 # down to 8 and cost ~2x corpus-pass throughput.)
 VMEM_BUDGET = 60 * 2**20
 
+# Scratch (pltpu.VMEM scratch_shapes) draws from a SEPARATE scoped
+# stack hard-limited to 16 MiB per grid step, independent of the block
+# budget above — exceeding it is a compile error ("Scoped allocation
+# ... exceeded scoped vmem limit"), observed at block_b=64 on the
+# monophone bench config.  14 MiB leaves margin for Mosaic's own
+# stack temporaries.
+SCOPED_VMEM_BUDGET = 14 * 2**20
+
+
+def banded_scratch_bytes(
+    B: int, DK: int, S0: int, T: int, P: int,
+    block_b: int = 8, time_chunk: int = 128, lane: int = 128,
+) -> int:
+    """Scoped-stack footprint of the kernel's scratch_shapes (the
+    acoustic chunk, the int8 backpointers, and — in non-external mode —
+    the pdf one-hot); must fit SCOPED_VMEM_BUDGET."""
+    S = _round_up(S0, lane)
+    Pp = _round_up(P, lane)
+    Tc = min(time_chunk, _round_up(T, 8))
+    Tpad = _round_up(T, Tc)
+    n = block_b * Tc * S * 4 + block_b * Tpad * S * 1
+    if P <= EXTERNAL_AC_PDFS:
+        n += block_b * S * Pp * 2
+    return n
+
 
 def pick_block_b(
     vmem_fn, B: int, DK: int, S0: int, T: int, P: int,
     max_block_b: int = 64, budget: int = VMEM_BUDGET,
+    scratch_fn=None, scratch_budget: int = SCOPED_VMEM_BUDGET,
 ):
     """Largest power-of-two block_b <= max_block_b whose estimated VMEM
-    footprint fits ``budget``, or None if even block_b=1 does not
-    (callers then use the XLA path)."""
+    footprint fits ``budget`` AND whose scratch fits the scoped stack,
+    or None if even block_b=1 does not (callers then use the XLA
+    path)."""
+    if scratch_fn is None:
+        scratch_fn = banded_scratch_bytes
+
+    def fits(bb):
+        return (
+            vmem_fn(B, DK, S0, T, P, block_b=bb) <= budget
+            and scratch_fn(B, DK, S0, T, P, block_b=bb) <= scratch_budget
+        )
+
     block_b = min(max_block_b, B)
-    while block_b > 1 and vmem_fn(
-        B, DK, S0, T, P, block_b=block_b
-    ) > budget:
+    while block_b > 1 and not fits(block_b):
         block_b //= 2
-    if vmem_fn(B, DK, S0, T, P, block_b=block_b) > budget:
+    if not fits(block_b):
         return None
     return block_b
