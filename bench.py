@@ -94,11 +94,13 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16,
     lm_words = [w for w in word_ids
                 if not lp.id2word[w].startswith(("<", "#"))]
     packed = []
+    graph_fsts = []  # prob-free compile output (for pack_graphs_base)
     for i in range(num_graphs):
         n_words = words_per_utt or (4 + (i % 4))
         words = [lm_words[int(rng.integers(len(lm_words)))]
                  for _ in range(n_words)]
         g = gc.compile_graph_from_text(words)
+        graph_fsts.append(g.copy())
         add_transition_probs(tm, g, transition_scale=1.0, self_loop_scale=0.1)
         packed.append(pack_graph(g, id2pdf))
     graphs = [packed[i % num_graphs] for i in range(batch)]
@@ -130,6 +132,7 @@ def build_problem(num_graphs=16, batch=256, frames=500, dim=80, mix=16,
         "num_pdfs": am.num_pdfs,
         "system": (lp, tm, tree, am, gc),
         "packed_graphs": packed,
+        "graph_fsts": graph_fsts,
     }
 
 
@@ -546,6 +549,36 @@ def run_corpus_em_resident(problem, num_utts=512, passes=3):
     return num_utts * frames / 100.0 / per
 
 
+def run_corpus_em_multipass(num_utts=1024, frames=500, dim=80, passes=6):
+    """Fully-resident multi-pass EM: model, stats carry, transition
+    model, AND graph costs live on the chip (device transition update +
+    device cost-delta refresh, khg_tpu/model/transition_device.py);
+    the host dispatches async and fetches one record block at the end.
+    This removes the one tunnel round-trip per pass that bounds
+    run_corpus_em.  Returns steady-state audio-sec/s per pass."""
+    from khg_tpu.recipes.pipeline import EStepPipeline
+
+    problem = build_problem(num_graphs=16, batch=16, frames=frames, dim=dim)
+    lp, tm, tree, am, gc = problem["system"]
+    rng = np.random.default_rng(1)
+    feats = [rng.standard_normal((frames, dim)).astype(np.float32)
+             for _ in range(num_utts)]
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=0.1, batch_size=256,
+        transition_scale=1.0, self_loop_scale=0.1,
+        mix_pad_multiple=8, align_backend="banded",
+    )
+    base16 = pipeline.pack_graphs_base(problem["graph_fsts"])
+    base = [base16[i % 16] for i in range(num_utts)]
+    model = pipeline.pack_model_device(am)
+    model, rec = pipeline.em_passes_resident(model, base, feats, 2)
+    assert rec[:, 4].sum() == 0, "alignment failures in warmup"
+    t0 = time.perf_counter()
+    model, rec = pipeline.em_passes_resident(model, base, feats, passes)
+    per_pass = (time.perf_counter() - t0) / passes
+    return num_utts * frames / 100.0 / per_pass
+
+
 def run_corpus_em(num_utts=1024, frames=500, dim=80, passes=3):
     """Steady-state wall seconds per EM pass through EStepPipeline
     (the user-facing corpus loop: pipelined batches, feature cache,
@@ -661,6 +694,15 @@ def main():
             )
             extras["corpus_em_pass_4096utt_pct_of_raw"] = round(
                 100.0 * (4096 * frames / 100.0 / em4_secs) / value, 1
+            )
+            # fully-resident multi-pass loop: device transition update +
+            # device cost refresh kill the per-pass round-trip entirely
+            mp = run_corpus_em_multipass()
+            extras["corpus_em_multipass_resident_audio_sec_per_s"] = round(
+                mp, 1
+            )
+            extras["corpus_em_multipass_resident_pct_of_raw"] = round(
+                100.0 * mp / value, 1
             )
         except Exception as e:
             print(f"corpus EM measurement failed: {e}", file=sys.stderr)

@@ -954,6 +954,318 @@ class EStepPipeline:
             g.valid_gconsts = False
             g.compute_gconsts()
 
+    def _fused_carry_delta_fn(self, banded_args, wide):
+        """Fused per-batch E-step that applies the CURRENT transition
+        cost deltas to the (base-packed, transition-prob-free) graph
+        tables in-trace — the multi-pass-resident loop's variant of
+        _fused_carry_fn.  delta[tid 0] = 0, so padding cells are
+        untouched (BIG + 0 = BIG)."""
+        if banded_args is not None:
+            _, offsets, block_b, interpret = banded_args
+            key = ("banded-delta", offsets, block_b, interpret, wide)
+        else:
+            key = ("xla-delta",)
+        fn = self._fused_jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        acoustic_scale = self.acoustic_scale
+        if banded_args is not None:
+            from khg_tpu.align.pallas_banded import viterbi_align_banded
+
+            if wide:
+                from khg_tpu.gmm.likelihoods import (
+                    component_scores_per_state,
+                )
+
+                def step(gconsts, miv, iv, bfeats, lens, tables, delta,
+                         id2pdf, carry, comp):
+                    from khg_tpu.model.transition_device import (
+                        factored_take,
+                    )
+
+                    tables = tables._replace(
+                        plane_cost=tables.plane_cost
+                        + factored_take(delta, tables.plane_tid)
+                    )
+                    ssk = component_scores_per_state(
+                        gconsts, miv, iv, tables.state_pdf, bfeats
+                    )
+                    sac = jax.nn.logsumexp(ssk, axis=-1)
+                    res = viterbi_align_banded(
+                        tables, offsets, None, lens, id2pdf,
+                        acoustic_scale=acoustic_scale, block_b=block_b,
+                        interpret=interpret, sac=sac,
+                    )
+                    return _carry_fold(
+                        gconsts, miv, iv, bfeats, res.tids, lens,
+                        res.failed, id2pdf, res.total_cost, carry, comp,
+                        state_pdf=tables.state_pdf, state_scores=ssk,
+                    )
+            else:
+
+                def step(gconsts, miv, iv, bfeats, lens, tables, delta,
+                         id2pdf, carry, comp):
+                    from khg_tpu.model.transition_device import (
+                        factored_take,
+                    )
+
+                    tables = tables._replace(
+                        plane_cost=tables.plane_cost
+                        + factored_take(delta, tables.plane_tid)
+                    )
+                    ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                    res = viterbi_align_banded(
+                        tables, offsets, ll, lens, id2pdf,
+                        acoustic_scale=acoustic_scale, block_b=block_b,
+                        interpret=interpret,
+                    )
+                    return _carry_fold(
+                        gconsts, miv, iv, bfeats, res.tids, lens,
+                        res.failed, id2pdf, res.total_cost, carry, comp,
+                    )
+
+            fn = jax.jit(step, donate_argnums=(8, 9))
+        else:
+
+            def step(gconsts, miv, iv, bfeats, lens, tables, state_pdf,
+                     delta, id2pdf, carry, comp):
+                from khg_tpu.model.transition_device import factored_take
+
+                tables = tables._replace(
+                    in_cost=tables.in_cost
+                    + factored_take(delta, tables.in_tid),
+                    out_cost=tables.out_cost
+                    + factored_take(delta, tables.out_tid),
+                )
+                ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                res = viterbi_align_batch(
+                    tables, ll, lens, id2pdf,
+                    acoustic_scale=acoustic_scale, state_pdf=state_pdf,
+                )
+                return _carry_fold(
+                    gconsts, miv, iv, bfeats, res.tids, lens,
+                    res.failed, id2pdf, res.total_cost, carry, comp,
+                )
+
+            fn = jax.jit(step, donate_argnums=(9, 10))
+        self._fused_jit_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _banded_parallel_free(graphs) -> bool:
+        """True when no (src, dst) pair carries 2+ real arcs: banded
+        packing then never min-prunes, so adding cost deltas to the
+        base-packed planes is EXACTLY pack-after-refresh.  (With
+        parallel arcs the min is taken under whichever costs were
+        current at pack time, and the delta shortcut would freeze that
+        choice — those batches fall back to the XLA tables, where every
+        arc survives and the delta is exact unconditionally.)"""
+        from khg_tpu.align.packed import FAIL_PAD_THRESHOLD
+
+        in_src = np.asarray(graphs.in_src)
+        in_cost = np.asarray(graphs.in_cost)
+        real = in_cost < FAIL_PAD_THRESHOLD
+        bs, ss, ms = np.nonzero(real)
+        if len(bs) == 0:
+            return True
+        src = in_src[bs, ss, ms].astype(np.int64)
+        S = in_src.shape[1]
+        cell = (bs.astype(np.int64) * S + ss) * S + src
+        return len(np.unique(cell)) == len(cell)
+
+    def _resident_loop_finish_fn(
+        self, P, K, D, num_tids, mle_config, struct, tcfg
+    ):
+        """Jitted multi-pass finisher: device M-step + device
+        transition-model update + fresh cost deltas + per-pass record
+        row.  NOTHING is fetched; the host only redispatches."""
+        from khg_tpu.model.transition_device import (
+            transition_cost_deltas_device,
+            transition_mle_update_device,
+        )
+        from khg_tpu.parallel.mesh import _dense_mstep, _mstep_kwargs
+
+        kw = _mstep_kwargs(mle_config)
+        vfv = kw.get("variance_floor_vector")
+        key = (
+            "loop-finish", P, K, D, num_tids,
+            tcfg.floor, tcfg.mincount,
+            self.transition_scale, self.self_loop_scale,
+            tuple(sorted(
+                (k, v) for k, v in kw.items()
+                if k != "variance_floor_vector"
+            )),
+            None if vfv is None else np.asarray(vfv).tobytes(),
+        )
+        fn = self._fused_jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        tscale, slscale = self.transition_scale, self.self_loop_scale
+
+        def finish(gconsts, miv, iv, weights, carry, logp):
+            pk = P * K
+            pkd = P * K * D
+            occ = carry[:pk].reshape(P, K)
+            mean_acc = carry[pk : pk + pkd].reshape(P, K, D)
+            var_acc = carry[pk + pkd : pk + 2 * pkd].reshape(P, K, D)
+            off = pk + 2 * pkd
+            scalars = carry[off : off + 2]  # tot_log_like, tot_frames
+            counts = carry[off + 2 : off + 2 + num_tids + 1]
+            tail = carry[off + 2 + num_tids + 1 :]
+            new_model = _dense_mstep(
+                occ, mean_acc, var_acc, gconsts, miv, iv, weights, **kw
+            )
+            logp_new, objf_t, count_t = transition_mle_update_device(
+                counts, logp, struct,
+                floor=tcfg.floor, mincount=tcfg.mincount,
+            )
+            delta = transition_cost_deltas_device(
+                logp_new, struct, tscale, slscale
+            )
+            row = jnp.concatenate(
+                [scalars, tail, objf_t[None], count_t[None]]
+            )
+            return new_model, logp_new, delta, row
+
+        # NOTE: keep every argument shape pass-count-independent — an
+        # earlier (passes, 8) records argument recompiled the finisher
+        # whenever the stretch length changed (~1.2 s per recompile
+        # through the tunnel, measured)
+        fn = jax.jit(finish)
+        self._fused_jit_cache[key] = fn
+        return fn
+
+    def em_passes_resident(
+        self,
+        model,
+        base_packed_graphs: Sequence[PackedGraph],
+        feats: Sequence[np.ndarray],
+        passes: int,
+        mle_config=None,
+        transition_cfg=None,
+    ):
+        """``passes`` consecutive EM passes with EVERYTHING resident:
+        model, stats carry, transition model, and graph costs all live
+        on the chip; the transition update and the cost refresh run as
+        device math (model/transition_device.py), so the host only
+        dispatches async work and fetches ONE small record block at the
+        very end — the per-pass tunnel round-trip that bounds
+        em_pass_resident disappears.
+
+        ``base_packed_graphs`` must come from pack_graphs_base (costs
+        WITHOUT transition probs); the current probs are applied
+        in-trace as per-tid deltas (exact: every packed arc carries one
+        tid, and batches whose banded packing would min-prune parallel
+        arcs fall back to the XLA tables automatically).
+
+        Returns (new_model, records) where records is a (passes, 8)
+        f64 array of rows [tot_log_like, tot_frames, like_sum,
+        num_done, num_error, frame_count, transition_objf_impr,
+        transition_count].  The host TransitionModel is synced to the
+        final device state before returning.  Like em_pass_resident,
+        sync the GMM side with apply_model_to_am at boundaries.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from khg_tpu.align.pallas_banded import EXTERNAL_AC_PDFS
+        from khg_tpu.model.transition_device import (
+            build_transition_struct,
+            transition_cost_deltas_device,
+        )
+        from khg_tpu.model.transition_model import (
+            MleTransitionUpdateConfig,
+        )
+
+        gconsts, miv, iv, weights = model
+        P, K = gconsts.shape
+        D = miv.shape[-1]
+        num_tids = self.tm.num_transition_ids
+        tcfg = transition_cfg or MleTransitionUpdateConfig()
+        assert not tcfg.share_for_pdfs, (
+            "device transition update implements the non-shared "
+            "variant; use the host loop for share_for_pdfs"
+        )
+        struct = build_transition_struct(self.tm)
+        logp = jnp.asarray(np.asarray(self.tm.log_probs, np.float32))
+        dkey = ("tdelta", self.transition_scale, self.self_loop_scale,
+                struct.num_tids, len(struct.sizes))
+        delta_fn = self._fused_jit_cache.get(dkey)
+        if delta_fn is None:
+            delta_fn = jax.jit(
+                lambda lp: transition_cost_deltas_device(
+                    lp, struct, self.transition_scale,
+                    self.self_loop_scale,
+                )
+            )
+            self._fused_jit_cache[dkey] = delta_fn
+        delta = delta_fn(logp)
+
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        wide = int(self.id2pdf.max()) + 1 > EXTERNAL_AC_PDFS
+        id2pdf_dev = self._id2pdf_dev()
+        batches = []
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            bfeats, lens, bt = self._batch_feats(idx, feats)
+            graphs, banded_args, state_pdf = self._batch_graphs(
+                idx, base_packed_graphs, bt
+            )
+            if banded_args is not None and not self._banded_parallel_free(
+                graphs
+            ):
+                banded_args = None
+                state_pdf = uniform_dest_pdf(graphs)
+            batches.append((bfeats, lens, graphs, banded_args, state_pdf))
+
+        finish = self._resident_loop_finish_fn(
+            P, K, D, num_tids, mle_config, struct, tcfg
+        )
+        width = _carry_width(P, K, D, num_tids)
+        rows = []
+        total_frames = sum(f.shape[0] for f in feats) * passes
+        with self.counters.phase("align", frames=total_frames):
+            for p in range(passes):
+                carry = jnp.zeros(width, jnp.float32)
+                comp = jnp.zeros(width, jnp.float32)
+                for bfeats, lens, graphs, banded_args, state_pdf in batches:
+                    if banded_args is not None:
+                        fn = self._fused_carry_delta_fn(banded_args, wide)
+                        carry, comp = fn(
+                            gconsts, miv, iv, bfeats, lens,
+                            banded_args[0], delta, id2pdf_dev,
+                            carry, comp,
+                        )
+                    else:
+                        fn = self._fused_carry_delta_fn(None, False)
+                        carry, comp = fn(
+                            gconsts, miv, iv, bfeats, lens, graphs,
+                            state_pdf, delta, id2pdf_dev, carry, comp,
+                        )
+                (gconsts, miv, iv, weights), logp, delta, row = finish(
+                    gconsts, miv, iv, weights, carry, logp,
+                )
+                rows.append(row)
+            rec = np.asarray(
+                jax.device_get(jnp.stack(rows)), np.float64
+            )
+            logp_host = np.asarray(jax.device_get(logp), np.float32)
+        self.tm.log_probs[1:] = logp_host[1:]
+        self.tm._compute_derived_of_probs()
+        n_err = rec[:, 4].sum()
+        if n_err:
+            logger.warning(
+                "Alignment failed for %d utterance-passes",
+                int(round(n_err)),
+            )
+        return (gconsts, miv, iv, weights), rec
+
     def _resident_finish_fn(self, P, K, D, num_tids, mle_config):
         """Jitted pass finisher: slice the carry, run the device M-step,
         emit the new model + a SMALL host packet (tid counts + summary

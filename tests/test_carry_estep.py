@@ -262,3 +262,77 @@ def test_em_pass_resident_matches_host_driven():
                                    rtol=2e-3, atol=1e-3)
         np.testing.assert_allclose(gd.gconsts, gh.gconsts,
                                    rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("backend", ["banded", "xla"])
+def test_em_passes_resident_matches_per_pass_host_loop(backend):
+    """N fully-resident passes (device transition update + device cost
+    refresh, one fetch at the end) == N x {em_pass_resident; host
+    tm.mle_update; refresh_transition_costs}."""
+    import copy
+
+    from khg_tpu.est.mle import MleDiagGmmOptions
+    from khg_tpu.model.transition_model import MleTransitionUpdateConfig
+    from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+
+    rng = np.random.default_rng(23)
+    lp, corpus = make_synthetic_corpus(num_utts=7, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=3, total_gauss=22, max_iter_inc=2,
+        realign_iters="1 2",
+    )
+    opts = MleDiagGmmOptions()
+    tcfg = MleTransitionUpdateConfig()
+    passes = 3
+
+    # host-driven reference: per-pass resident E/M + HOST transition
+    # update + HOST cost refresh
+    tm_h = copy.deepcopy(result.transition_model)
+    pipe_h = EStepPipeline(
+        tm_h, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+        align_backend=backend,
+    )
+    base_h = pipe_h.pack_graphs_base(result.graphs)
+    am_h = result.am.copy()
+    model_h = pipe_h.pack_model_device(am_h)
+    likes_h = []
+    for _ in range(passes):
+        graphs_p = pipe_h.refresh_transition_costs(base_h)
+        model_h, counts, res = pipe_h.em_pass_resident(
+            model_h, graphs_p, corpus.feats, mle_config=opts
+        )
+        likes_h.append(res.tot_like)
+        tm_h.mle_update(counts, tcfg)
+
+    # fully-resident loop
+    tm_d = copy.deepcopy(result.transition_model)
+    pipe_d = EStepPipeline(
+        tm_d, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+        align_backend=backend,
+    )
+    base_d = pipe_d.pack_graphs_base(result.graphs)
+    am_d = result.am.copy()
+    model_d = pipe_d.pack_model_device(am_d)
+    model_d, rec = pipe_d.em_passes_resident(
+        model_d, base_d, corpus.feats, passes,
+        mle_config=opts, transition_cfg=tcfg,
+    )
+    assert rec.shape == (passes, 8)
+    # per-pass log-likes agree
+    likes_d = rec[:, 2] / pipe_d.acoustic_scale
+    np.testing.assert_allclose(likes_d, likes_h, rtol=2e-5)
+    assert int(rec[:, 4].sum()) == 0  # no failures
+    # final transition models agree (f32 vs f64 count temporaries)
+    np.testing.assert_allclose(
+        tm_d.log_probs[1:], tm_h.log_probs[1:], rtol=0, atol=1e-5
+    )
+    # final GMMs agree
+    pipe_h.apply_model_to_am(model_h, am_h)
+    pipe_d.apply_model_to_am(model_d, am_d)
+    for p in range(am_h.num_pdfs):
+        gh, gd = am_h.get_pdf(p), am_d.get_pdf(p)
+        assert gh.num_gauss == gd.num_gauss, p
+        np.testing.assert_allclose(gd.weights, gh.weights,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gd.means_invvars, gh.means_invvars,
+                                   rtol=2e-3, atol=1e-3)
