@@ -598,12 +598,191 @@ def sharded_resident_em(
     )
 
     def make_carry():
+        # NOTE: two separate zeros arrays — device_put of the SAME array
+        # twice can return the same committed buffer (observed on a
+        # 1-device mesh), and fold donates both, which XLA rejects as a
+        # double donation
         sharding = NamedSharding(mesh, P("dp"))
-        z = jnp.zeros((n_dev, W), jnp.float32)
-        return (jax.device_put(z, sharding), jax.device_put(z, sharding))
+        return (
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+        )
 
     return ShardedResidentEm(
         make_carry, fold_sharded, finish_sharded, W, num_tids
+    )
+
+
+class ShardedResidentEmLoop(NamedTuple):
+    """Fully-resident multi-pass EM over the mesh (see
+    sharded_resident_em_loop)."""
+
+    make_carry: object   # () -> (carry, comp), zeros sharded over dp
+    fold: object         # (model, delta, carry, comp, graphs, feats,
+                         #  nf, id2pdf) — graphs hold BASE (prob-free)
+                         #  costs; delta is applied in-trace
+    finish: object       # (model, carry, comp, logp) ->
+                         #  (new_model, logp_new, delta_new, packet)
+    delta: object        # (logp) -> delta (for the first pass)
+    carry_width: int
+    num_tids: int
+
+
+def sharded_resident_em_loop(
+    mesh: Mesh,
+    num_pdfs: int,
+    num_mix: int,
+    dim: int,
+    num_tids: int,
+    struct,
+    acoustic_scale: float = 1.0,
+    transition_scale: float = 1.0,
+    self_loop_scale: float = 1.0,
+    uniform_dest_pdf: bool = False,
+    banded_offsets: Optional[Tuple[int, ...]] = None,
+    banded_interpret: bool = False,
+    mle_config=None,
+    transition_cfg=None,
+    per_state: bool = False,
+) -> ShardedResidentEmLoop:
+    """Mesh port of EStepPipeline.em_passes_resident: the transition
+    update and the graph-cost refresh join the M-step INSIDE the
+    replicated finish, so N corpus passes over the pod need one psum
+    per pass and one host fetch at the very end.
+
+    ``struct`` is model.transition_device.build_transition_struct(tm);
+    the graphs passed to ``fold`` must be packed from
+    pack_graphs_base output (costs WITHOUT transition probs — the
+    current probs are applied per call as delta[tid] via the exact
+    factored one-hot select).  Like the single-chip loop, banded graph
+    batches must be parallel-arc-free for the delta shortcut to equal
+    pack-after-refresh (the pipeline probes this; the XLA tables are
+    exact unconditionally).
+
+    Equality contract (tests/test_parallel.py): N fold/finish rounds ==
+    the single-chip em_passes_resident on the same data, any mesh size.
+    """
+    from jax import shard_map
+
+    from khg_tpu.align.banded import BandedGraphs
+    from khg_tpu.align.packed import BatchedGraphs
+    from khg_tpu.model.transition_device import (
+        factored_take,
+        transition_cost_deltas_device,
+        transition_mle_update_device,
+    )
+    from khg_tpu.model.transition_model import MleTransitionUpdateConfig
+    from khg_tpu.recipes.pipeline import _carry_fold, _carry_width
+
+    tcfg = transition_cfg or MleTransitionUpdateConfig()
+    assert not tcfg.share_for_pdfs
+    dp = P("dp")
+    rep = P()
+    n_dev = mesh.devices.size
+    W = _carry_width(num_pdfs, num_mix, dim, num_tids)
+
+    _align = _make_align_estep(
+        acoustic_scale, uniform_dest_pdf, banded_offsets,
+        banded_interpret, per_state,
+    )
+    banded = banded_offsets is not None
+
+    def fold(model, delta, carry, comp, graphs, feats, num_frames,
+             id2pdf):
+        gconsts, miv, iv, _weights = model
+        if banded:
+            graphs = graphs._replace(
+                plane_cost=graphs.plane_cost
+                + factored_take(delta, graphs.plane_tid)
+            )
+        else:
+            graphs = graphs._replace(
+                in_cost=graphs.in_cost
+                + factored_take(delta, graphs.in_tid),
+                out_cost=graphs.out_cost
+                + factored_take(delta, graphs.out_tid),
+            )
+        res, ssk = _align(gconsts, miv, iv, graphs, feats, num_frames,
+                          id2pdf)
+        c, k = _carry_fold(
+            gconsts, miv, iv, feats, res.tids, num_frames, res.failed,
+            id2pdf, res.total_cost, carry[0], comp[0],
+            state_pdf=graphs.state_pdf if per_state else None,
+            state_scores=ssk,
+        )
+        return c[None], k[None]
+
+    graphs_spec = (
+        BandedGraphs(*([dp] * 5))
+        if banded
+        else BatchedGraphs(*([dp] * 10))
+    )
+    fold_sharded = jax.jit(
+        shard_map(
+            fold,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), rep, dp, dp, graphs_spec,
+                      dp, dp, rep),
+            out_specs=(dp, dp),
+            check_vma=False,
+        ),
+        donate_argnums=(2, 3),
+    )
+
+    def finish(model, carry, comp, logp):
+        gconsts, miv, iv, weights = model
+        total = jax.lax.psum(carry[0], "dp") + jax.lax.psum(comp[0], "dp")
+        pk = num_pdfs * num_mix
+        pkd = pk * dim
+        occ = total[:pk].reshape(num_pdfs, num_mix)
+        mean_acc = total[pk : pk + pkd].reshape(num_pdfs, num_mix, dim)
+        var_acc = total[pk + pkd : pk + 2 * pkd].reshape(
+            num_pdfs, num_mix, dim
+        )
+        new_model = _dense_mstep(
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights,
+            **_mstep_kwargs(mle_config),
+        )
+        packet = total[pk + 2 * pkd :]
+        counts = packet[2 : 2 + num_tids + 1]
+        logp_new, _objf, _csum = transition_mle_update_device(
+            counts, logp, struct,
+            floor=tcfg.floor, mincount=tcfg.mincount,
+        )
+        delta_new = transition_cost_deltas_device(
+            logp_new, struct, transition_scale, self_loop_scale
+        )
+        return new_model, logp_new, delta_new, packet
+
+    finish_sharded = jax.jit(
+        shard_map(
+            finish,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), dp, dp, rep),
+            out_specs=((rep, rep, rep, rep), rep, rep, rep),
+            check_vma=False,
+        )
+    )
+
+    delta_fn = jax.jit(
+        lambda lp: transition_cost_deltas_device(
+            lp, struct, transition_scale, self_loop_scale
+        )
+    )
+
+    def make_carry():
+        # NOTE: two separate zeros arrays — device_put of the SAME array
+        # twice can return the same committed buffer (observed on a
+        # 1-device mesh), and fold donates both, which XLA rejects as a
+        # double donation
+        sharding = NamedSharding(mesh, P("dp"))
+        return (
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+        )
+
+    return ShardedResidentEmLoop(
+        make_carry, fold_sharded, finish_sharded, delta_fn, W, num_tids
     )
 
 

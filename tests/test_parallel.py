@@ -552,3 +552,122 @@ def test_sharded_resident_em_mesh_invariance():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
             )
+
+
+def test_sharded_resident_em_loop_matches_host_updates():
+    """Fully-resident multi-pass EM over the mesh (device transition
+    update + device cost refresh inside finish) == per-pass sharded
+    resident EM with HOST transition update + HOST cost refresh; and
+    mesh-size invariant."""
+    import copy
+
+    from khg_tpu.model.transition_device import build_transition_struct
+    from khg_tpu.model.transition_model import MleTransitionUpdateConfig
+    from khg_tpu.parallel.mesh import (
+        sharded_resident_em,
+        sharded_resident_em_loop,
+        unpack_resident_packet,
+    )
+
+    lp, topo, tree, tm0, gc = build_yesno_like()
+    rng = np.random.default_rng(9)
+    dim = 6
+    am = random_am(tree.num_pdfs, dim, rng, max_mix=2)
+    id2pdf = tm0.id2pdf_array()
+    base_packed, prob_packed = [], []
+    for i in range(8):
+        words = [lp.word2id["YES" if (i + j) % 2 else "NO"]
+                 for j in range(2 + i % 2)]
+        g = gc.compile_graph_from_text(words).copy()
+        base_packed.append(pack_graph(g.copy(), id2pdf))
+        add_transition_probs(tm0, g, 1.0, 0.1)
+        prob_packed.append(pack_graph(g, id2pdf))
+    base_graphs = pack_graph_batch(base_packed, states_pad_to=8,
+                                   indeg_pad_to=2)
+    feats = rng.standard_normal((8, 24, dim)).astype(np.float32)
+    lens = np.full(8, 24, dtype=np.int32)
+    pm = am.pack(mix_pad_to=2)
+    weights = np.zeros(pm.gconsts.shape, dtype=np.float32)
+    for p in range(am.num_pdfs):
+        k = am.get_pdf(p).num_gauss
+        weights[p, :k] = am.get_pdf(p).weights
+    P_, K = pm.gconsts.shape
+    num_tids = int(id2pdf.shape[0]) - 1
+    tcfg = MleTransitionUpdateConfig()
+    passes = 3
+
+    def model0():
+        return (jnp.asarray(pm.gconsts), jnp.asarray(pm.means_invvars),
+                jnp.asarray(pm.inv_vars), jnp.asarray(weights))
+
+    def run_loop(n_dev):
+        tm = copy.deepcopy(tm0)
+        struct = build_transition_struct(tm)
+        mesh = make_data_mesh(n_dev, devices=jax.devices("cpu")[:n_dev])
+        loop = sharded_resident_em_loop(
+            mesh, P_, K, dim, num_tids, struct, acoustic_scale=0.5,
+            transition_scale=1.0, self_loop_scale=0.1,
+        )
+        model = model0()
+        logp = jnp.asarray(np.asarray(tm.log_probs, np.float32))
+        delta = loop.delta(logp)
+        rows = []
+        bg = jax.tree.map(jnp.asarray, base_graphs)
+        for _ in range(passes):
+            carry, comp = loop.make_carry()
+            carry, comp = loop.fold(
+                model, delta, carry, comp, bg, jnp.asarray(feats),
+                jnp.asarray(lens), jnp.asarray(id2pdf),
+            )
+            model, logp, delta, packet = loop.finish(
+                model, carry, comp, logp
+            )
+            rows.append(np.asarray(packet, np.float64))
+        return model, np.asarray(logp), rows
+
+    # reference: per-pass sharded resident EM on HOST-refreshed costs +
+    # host transition update
+    tm_h = copy.deepcopy(tm0)
+    from khg_tpu.recipes.pipeline import EStepPipeline
+
+    pipe = EStepPipeline(tm_h, acoustic_scale=0.5, transition_scale=1.0,
+                         self_loop_scale=0.1)
+    mesh = make_data_mesh(2, devices=jax.devices("cpu")[:2])
+    r = sharded_resident_em(mesh, P_, K, dim, num_tids,
+                            acoustic_scale=0.5)
+    model_h = model0()
+    rows_h = []
+    for _ in range(passes):
+        d = pipe.transition_cost_deltas()
+        g_ref = base_graphs._replace(
+            in_cost=(base_graphs.in_cost + d[base_graphs.in_tid]
+                     ).astype(np.float32),
+            out_cost=(base_graphs.out_cost + d[base_graphs.out_tid]
+                      ).astype(np.float32),
+        )
+        carry, comp = r.make_carry()
+        carry, comp = r.fold(model_h, carry, comp,
+                             jax.tree.map(jnp.asarray, g_ref),
+                             jnp.asarray(feats), jnp.asarray(lens),
+                             jnp.asarray(id2pdf))
+        model_h, packet = r.finish(model_h, carry, comp)
+        pk = np.asarray(packet, np.float64)
+        rows_h.append(pk)
+        counts = unpack_resident_packet(pk, num_tids)[2]
+        tm_h.mle_update(counts, tcfg)
+
+    for n_dev in (1, 2):
+        model_d, logp_d, rows_d = run_loop(n_dev)
+        for pr_d, pr_h in zip(rows_d, rows_h):
+            np.testing.assert_allclose(pr_d[0], pr_h[0], rtol=2e-5)  # ll
+            np.testing.assert_allclose(
+                pr_d[2: 2 + num_tids + 1], pr_h[2: 2 + num_tids + 1],
+                atol=1e-3,
+            )
+        np.testing.assert_allclose(
+            logp_d[1:], np.asarray(tm_h.log_probs[1:], np.float64),
+            rtol=0, atol=1e-5,
+        )
+        for got, ref in zip(model_d, model_h):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
