@@ -117,3 +117,20 @@ def test_deltas_match_host_both_scale_regimes():
         )
         np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
         assert got[0] == 0.0
+
+
+def test_factored_take_bit_exact_and_fallback():
+    from khg_tpu.model.transition_device import factored_take
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.standard_normal(803).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 803, (7, 11, 13)).astype(np.int32))
+    got = np.asarray(factored_take(table, idx))
+    want = np.asarray(table)[np.asarray(idx)]
+    assert got.dtype == np.float32
+    assert np.array_equal(got, want)  # bit-exact, not allclose
+    # wide-table fallback path (H > max_rows -> plain gather)
+    big = jnp.asarray(rng.standard_normal(70000).astype(np.float32))
+    idx2 = jnp.asarray(rng.integers(0, 70000, (64,)).astype(np.int32))
+    got2 = np.asarray(factored_take(big, idx2))
+    assert np.array_equal(got2, np.asarray(big)[np.asarray(idx2)])
