@@ -117,7 +117,8 @@ def transition_mle_update_device(
     return logp_new, objf_impr, count_sum
 
 
-def factored_take(table, idx, block: int = 32, max_rows: int = 64):
+def factored_take(table, idx, block: int = 0,
+                  max_onehot_bytes: int = 256 * 2**20):
     """``table[idx]`` without a TPU scalar gather (exact).
 
     Decomposes idx = hi*block + lo and selects with two exact 0/1
@@ -126,16 +127,24 @@ def factored_take(table, idx, block: int = 32, max_rows: int = 64):
     0/1 * table-value, so the result is bit-exact table[idx] at any
     precision.  Measured on-chip: the XLA gather of 1.3M indices from
     an ~800-entry table costs ~8 ms inside the fused E-step; this
-    formulation is GEMM-shaped.  Falls back to the plain gather when
-    the hi one-hot would exceed ``max_rows`` columns (wide-model tid
-    spaces), where the intermediate would outgrow the gather cost.
+    formulation is GEMM-shaped.
+
+    ``block=0`` picks ~sqrt(len(table)) (8-aligned), balancing the hi
+    and lo one-hot widths.  Falls back to the plain gather only when
+    the two one-hot intermediates would exceed ``max_onehot_bytes``
+    (enormous tables x huge index sets), where streaming them would
+    outgrow the gather cost.
     """
+    import math
+
     import jax
     import jax.numpy as jnp
 
     n = table.shape[0]
+    if block <= 0:
+        block = max(8, -(-math.isqrt(max(n - 1, 1)) // 8) * 8)
     H = -(-n // block)
-    if H > max_rows:
+    if idx.size * (H + block) * 4 > max_onehot_bytes:
         return table[idx]
     padded = jnp.pad(table, (0, H * block - n)).reshape(H, block)
     hi = idx // block

@@ -129,8 +129,11 @@ def test_factored_take_bit_exact_and_fallback():
     want = np.asarray(table)[np.asarray(idx)]
     assert got.dtype == np.float32
     assert np.array_equal(got, want)  # bit-exact, not allclose
-    # wide-table fallback path (H > max_rows -> plain gather)
+    # adaptive block on a wide table (sqrt-balanced one-hots)
     big = jnp.asarray(rng.standard_normal(70000).astype(np.float32))
     idx2 = jnp.asarray(rng.integers(0, 70000, (64,)).astype(np.int32))
     got2 = np.asarray(factored_take(big, idx2))
     assert np.array_equal(got2, np.asarray(big)[np.asarray(idx2)])
+    # byte-gate fallback path (intermediates would exceed the cap)
+    got3 = np.asarray(factored_take(big, idx2, max_onehot_bytes=64))
+    assert np.array_equal(got3, np.asarray(big)[np.asarray(idx2)])
