@@ -336,3 +336,36 @@ def test_em_passes_resident_matches_per_pass_host_loop(backend):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(gd.means_invvars, gh.means_invvars,
                                    rtol=2e-3, atol=1e-3)
+
+
+def test_em_passes_resident_failure_accounting():
+    """An unalignable utterance (graph needs more frames than it has)
+    is counted as an error EVERY pass, contributes nothing to the
+    stats, and the rest of the corpus still trains."""
+    from khg_tpu.est.mle import MleDiagGmmOptions
+    from khg_tpu.recipes.yesno import make_synthetic_corpus, train_yesno
+
+    rng = np.random.default_rng(31)
+    lp, corpus = make_synthetic_corpus(num_utts=6, dim=8, rng=rng)
+    result = train_yesno(
+        lp, corpus, num_iters=2, total_gauss=22, max_iter_inc=1,
+        realign_iters="1",
+    )
+    feats = list(corpus.feats)
+    feats[2] = feats[2][:2]  # 2 frames cannot traverse the word graph
+    pipe = EStepPipeline(
+        result.transition_model, acoustic_scale=1.0, self_loop_scale=0.1,
+        batch_size=3, align_backend="banded",
+    )
+    base = pipe.pack_graphs_base(result.graphs)
+    model = pipe.pack_model_device(result.am.copy())
+    model, rec = pipe.em_passes_resident(
+        model, base, feats, 3, mle_config=MleDiagGmmOptions()
+    )
+    assert rec.shape == (3, 8)
+    np.testing.assert_array_equal(rec[:, 4], [1.0, 1.0, 1.0])  # num_error
+    np.testing.assert_array_equal(rec[:, 3], [5.0, 5.0, 5.0])  # num_done
+    # frame accounting excludes the failed utterance
+    good = sum(f.shape[0] for i, f in enumerate(feats) if i != 2)
+    np.testing.assert_array_equal(rec[:, 5], [good] * 3)
+    assert np.all(np.isfinite(rec[:, 0]))
