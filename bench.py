@@ -579,6 +579,35 @@ def run_corpus_em_multipass(num_utts=1024, frames=500, dim=80, passes=6):
     return num_utts * frames / 100.0 / per_pass
 
 
+def run_corpus_em_multipass_resident(problem, num_utts=512, passes=6):
+    """Wide-model (triphone-scale) fully-resident multi-pass EM: the
+    per-state banded E-step, M-step, transition update AND graph-cost
+    refresh all on device, one fetch per stretch (vs one per pass for
+    run_corpus_em_resident).  Returns audio-sec/s per pass."""
+    from khg_tpu.recipes.pipeline import EStepPipeline
+
+    lp, tm, tree, am, gc = problem["system"]
+    frames, dim = problem["feats"].shape[1:3]
+    rng = np.random.default_rng(2)
+    feats = [rng.standard_normal((frames, dim)).astype(np.float32)
+             for _ in range(num_utts)]
+    pipeline = EStepPipeline(
+        tm, acoustic_scale=0.1, batch_size=64,
+        transition_scale=1.0, self_loop_scale=0.1,
+        mix_pad_multiple=8, align_backend="banded",
+    )
+    ng = len(problem["graph_fsts"])
+    base_u = pipeline.pack_graphs_base(problem["graph_fsts"])
+    base = [base_u[i % ng] for i in range(num_utts)]
+    model = pipeline.pack_model_device(am)
+    model, rec = pipeline.em_passes_resident(model, base, feats, passes)
+    assert rec[:, 4].sum() == 0, "alignment failures in warmup"
+    t0 = time.perf_counter()
+    model, rec = pipeline.em_passes_resident(model, base, feats, passes)
+    per = (time.perf_counter() - t0) / passes
+    return num_utts * frames / 100.0 / per
+
+
 def run_corpus_em(num_utts=1024, frames=500, dim=80, passes=3):
     """Steady-state wall seconds per EM pass through EStepPipeline
     (the user-facing corpus loop: pipelined batches, feature cache,
@@ -785,6 +814,11 @@ def main():
             # at ~700 audio-sec/s.
             extras["triphone_corpus_resident_audio_sec_per_s"] = round(
                 run_corpus_em_resident(tri), 1
+            )
+            # ...and the fully-resident multi-pass variant (device
+            # transition update + cost refresh, one fetch per stretch)
+            extras["triphone_corpus_multipass_resident_audio_sec_per_s"] = (
+                round(run_corpus_em_multipass_resident(tri), 1)
             )
         except Exception as e:
             print(f"triphone measurement failed: {e}", file=sys.stderr)
