@@ -717,6 +717,11 @@ def main():
             # tunnel round-trip per pass over 4x the compute (BENCH.md
             # round-3 breakdown: the residual vs raw is exactly that
             # RTT).
+        except Exception as e:
+            print(f"corpus EM measurement failed: {e}", file=sys.stderr)
+        # each sub-benchmark gets its own try so one failure (e.g. an
+        # alignment blip in a warmup) doesn't drop sibling metrics
+        try:
             em4_secs, _ = run_corpus_em(num_utts=4096)
             extras["corpus_em_pass_4096utt_audio_sec_per_s"] = round(
                 4096 * frames / 100.0 / em4_secs, 1
@@ -724,6 +729,9 @@ def main():
             extras["corpus_em_pass_4096utt_pct_of_raw"] = round(
                 100.0 * (4096 * frames / 100.0 / em4_secs) / value, 1
             )
+        except Exception as e:
+            print(f"4096-utt corpus EM failed: {e}", file=sys.stderr)
+        try:
             # fully-resident multi-pass loop: device transition update +
             # device cost refresh kill the per-pass round-trip entirely
             mp = run_corpus_em_multipass()
@@ -734,7 +742,7 @@ def main():
                 100.0 * mp / value, 1
             )
         except Exception as e:
-            print(f"corpus EM measurement failed: {e}", file=sys.stderr)
+            print(f"multipass corpus EM failed: {e}", file=sys.stderr)
         try:
             xrt, xrt_par, xrt_par16, backend = run_decode(
                 problem, default_dev

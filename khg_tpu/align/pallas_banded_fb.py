@@ -73,6 +73,23 @@ def banded_fb_vmem_bytes(
     )
 
 
+def banded_fb_scratch_bytes(
+    B: int, DK: int, S0: int, T: int, P: int,
+    block_b: int = 8, time_chunk: int = 64, lane: int = 128,
+) -> int:
+    """Scoped-stack footprint of the FB kernels' scratch_shapes.  The
+    backward kernel dominates: (Bb,S) beta + (DK,Bb,S) plane-posterior
+    accumulator + (Tc,Bb,S) recomputed alpha, all f32 (the forward
+    kernel's single (Bb,S) buffer is strictly smaller).  Distinct from
+    banded_scratch_bytes (the Viterbi kernel's int8 backpointers + pdf
+    one-hot), which overestimates FB scratch and needlessly halves its
+    block sizes."""
+    del B, P
+    S = _round_up(S0, lane)
+    Tc = min(time_chunk, _round_up(T, 8))
+    return (1 + DK + Tc) * block_b * S * 4
+
+
 def _plane_lse(cand):
     """logsumexp over the leading plane axis of (D, Bb, S), NEG_BIG floor."""
     m = jnp.max(cand, axis=0)

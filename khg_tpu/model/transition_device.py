@@ -144,7 +144,7 @@ def factored_take(table, idx, block: int = 0,
     if block <= 0:
         block = max(8, -(-math.isqrt(max(n - 1, 1)) // 8) * 8)
     H = -(-n // block)
-    if idx.size * (H + block) * 4 > max_onehot_bytes:
+    if idx.size * (H + block) * table.dtype.itemsize > max_onehot_bytes:
         return table[idx]
     padded = jnp.pad(table, (0, H * block - n)).reshape(H, block)
     hi = idx // block

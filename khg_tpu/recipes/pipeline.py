@@ -656,7 +656,10 @@ class EStepPipeline:
             banded_vmem_bytes,
             pick_block_b,
         )
-        from khg_tpu.align.pallas_banded_fb import banded_fb_vmem_bytes
+        from khg_tpu.align.pallas_banded_fb import (
+            banded_fb_scratch_bytes,
+            banded_fb_vmem_bytes,
+        )
 
         # the SCC renumbering depends only on the arc structure, which EM
         # passes leave unchanged (only costs move) — cache it on exactly
@@ -680,7 +683,8 @@ class EStepPipeline:
             return None
         P = int(self.id2pdf.max()) + 1  # pdf one-hot width = num loglike cols
         vmem = banded_fb_vmem_bytes if fb else banded_vmem_bytes
-        block_b = pick_block_b(vmem, B, DK, S, frames, P)
+        scratch = banded_fb_scratch_bytes if fb else None
+        block_b = pick_block_b(vmem, B, DK, S, frames, P, scratch_fn=scratch)
         if block_b is None:
             return None  # even block_b=1 would blow VMEM — use the XLA path
         interpret = jax.default_backend() == "cpu"

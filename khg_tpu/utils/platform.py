@@ -68,8 +68,12 @@ def ensure_backend(retry_tpu: int = 3, retry_wait_s: float = 5.0) -> str:
             jax.config.update("jax_platforms", "")
             return jax.devices()[0].platform
 
+    # Capture the configured platform list BEFORE _default_platform: its
+    # exception path clears jax_platforms to "" so reading cfg afterwards
+    # would make wants_accel False and skip the retry loop exactly in the
+    # raise-then-auto-select-lands-on-cpu mode it exists to cover.
+    cfg = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "") or ""
     plat = _default_platform()
-    cfg = jax.config.jax_platforms or ""
     wants_accel = any(
         p and p != "cpu" for p in cfg.replace(" ", "").split(",")
     )
