@@ -156,6 +156,11 @@ def write_yesno_corpus(
     """
     wav_dir = Path(wav_dir)
     wav_dir.mkdir(parents=True, exist_ok=True)
+    if num_utts > 2 ** words_per_utt:
+        raise ValueError(
+            f"only {2 ** words_per_utt} distinct {words_per_utt}-word "
+            f"sequences exist; cannot write {num_utts} unique files"
+        )
     rng = np.random.default_rng(seed)
     paths = []
     seen = set()
@@ -265,8 +270,16 @@ def extract_features(
     bucket_samples: int = 8000,
     use_pallas: Optional[bool] = None,
     speed_perturb_factors: Optional[Sequence[float]] = None,
+    feature_type: str = "fbank",
+    mfcc_cfg=None,
+    delta_order: int = 0,
 ) -> WavCorpus:
     """Read every WAV and compute fbank, batched by length bucket.
+
+    ``feature_type="mfcc"`` switches the per-bucket extractor to MFCC
+    (``mfcc_cfg`` a features.mfcc.MfccConfig; its frontend settings win
+    over ``cfg``); ``delta_order > 0`` appends delta blocks
+    (features/delta.py) after extraction in either mode.
 
     Waves are symmetric-reflection padded up to a bucket multiple — the
     same mirror rule the framer applies at utterance end — so each
@@ -283,6 +296,17 @@ def extract_features(
     """
     import jax
 
+    if feature_type == "mfcc":
+        from khg_tpu.features.mfcc import MfccConfig
+
+        if mfcc_cfg is None:
+            base = cfg or FbankConfig(
+                sample_rate=SAMPLE_RATE, num_mel_bins=23
+            )
+            mfcc_cfg = MfccConfig(fbank=base)
+        cfg = mfcc_cfg.frontend_cfg()
+    elif feature_type != "fbank":
+        raise ValueError(f"unknown feature_type {feature_type!r}")
     if cfg is None:
         cfg = FbankConfig(sample_rate=SAMPLE_RATE)
     if use_pallas is None:
@@ -327,7 +351,17 @@ def extract_features(
             [np.pad(waves[i], (0, nb - len(waves[i])), mode="symmetric")
              for i in idxs]
         )
-        if use_pallas:
+        if feature_type == "mfcc":
+            from khg_tpu.features.mfcc import (
+                compute_mfcc_batch,
+                compute_mfcc_pallas,
+            )
+
+            if use_pallas:
+                out = np.asarray(compute_mfcc_pallas(batch, mfcc_cfg))
+            else:
+                out = np.asarray(compute_mfcc_batch(batch, mfcc_cfg))
+        elif use_pallas:
             from khg_tpu.features.pallas_fbank import compute_fbank_pallas
 
             out = np.asarray(compute_fbank_pallas(batch, cfg))
@@ -335,10 +369,16 @@ def extract_features(
             out = np.asarray(compute_fbank_batch(batch, cfg))
         for row, i in enumerate(idxs):
             feats[i] = out[row, : num_frames(cfg, len(waves[i]))]
+    if delta_order > 0:
+        from khg_tpu.features.delta import DeltaConfig, add_deltas
+
+        dcfg = DeltaConfig(order=delta_order)
+        feats = [np.asarray(add_deltas(f, dcfg)) for f in feats]
     corpus.feats = [f for f in feats]
     logger.info(
-        "extracted fbank for %d utts (%d length buckets, pallas=%s)",
-        len(waves), len(buckets), use_pallas,
+        "extracted %s for %d utts (%d length buckets, pallas=%s, "
+        "delta_order=%d)",
+        feature_type, len(waves), len(buckets), use_pallas, delta_order,
     )
     return corpus
 

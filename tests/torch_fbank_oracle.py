@@ -121,3 +121,68 @@ def torch_fbank(wave: np.ndarray, cfg) -> np.ndarray:
         feats = torch.cat([log_energy[:, None], feats], dim=1)
 
     return feats.numpy()
+
+
+def torch_mfcc(wave: np.ndarray, mcfg) -> np.ndarray:
+    """Kaldi-semantics MFCC oracle: log-mel via torch_fbank, then an
+    explicitly-constructed orthonormal DCT-II (matrix-functions.cc
+    ComputeDctMatrix) and liftering (mel-computations.cc
+    ComputeLifterCoeffs), energy overwriting c0 when use_energy —
+    all torch float64, no khg_tpu.features code."""
+    fcfg = mcfg.frontend_cfg()
+    logmel = torch.from_numpy(torch_fbank(wave, fcfg))
+    energy = None
+    if mcfg.use_energy:
+        energy, logmel = logmel[:, 0], logmel[:, 1:]
+
+    nbins, nceps = fcfg.num_mel_bins, mcfg.num_ceps
+    n = torch.arange(nbins, dtype=torch.float64)
+    k = torch.arange(nceps, dtype=torch.float64)[:, None]
+    dct = math.sqrt(2.0 / nbins) * torch.cos(
+        math.pi / nbins * (n[None, :] + 0.5) * k
+    )
+    dct[0, :] = math.sqrt(1.0 / nbins)
+    ceps = logmel @ dct.T
+
+    if mcfg.cepstral_lifter != 0.0:
+        q = mcfg.cepstral_lifter
+        lifter = 1.0 + 0.5 * q * torch.sin(
+            math.pi * torch.arange(nceps, dtype=torch.float64) / q
+        )
+        ceps = ceps * lifter
+    if energy is not None:
+        ceps = torch.cat([energy[:, None], ceps[:, 1:]], dim=1)
+    return ceps.numpy()
+
+
+def torch_deltas(feats: np.ndarray, order: int, window: int) -> np.ndarray:
+    """Naive per-frame delta oracle (feature-functions.cc DeltaFeatures):
+    scales built by the recursive ramp convolution, frame indices
+    clamped at the edges; no vectorized shifts shared with the device
+    implementation."""
+    x = torch.from_numpy(np.asarray(feats)).to(torch.float64)
+    T = x.shape[0]
+    scales = [torch.tensor([1.0], dtype=torch.float64)]
+    for _ in range(order):
+        prev = scales[-1]
+        prev_off = (prev.numel() - 1) // 2
+        cur_off = prev_off + window
+        cur = torch.zeros(prev.numel() + 2 * window, dtype=torch.float64)
+        norm = 0.0
+        for j in range(-window, window + 1):
+            norm += j * j
+            if j:
+                for kk in range(-prev_off, prev_off + 1):
+                    cur[j + kk + cur_off] += j * prev[kk + prev_off]
+        scales.append(cur / norm)
+
+    blocks = []
+    for taps in scales:
+        off = (taps.numel() - 1) // 2
+        out = torch.zeros_like(x)
+        for t in range(T):
+            for j in range(-off, off + 1):
+                src = min(max(t + j, 0), T - 1)
+                out[t] += taps[j + off] * x[src]
+        blocks.append(out)
+    return torch.cat(blocks, dim=1).numpy()
