@@ -72,6 +72,87 @@ class ContextDependency:
             lst.sort()
         return pdf_info
 
+    def enumerate_pairs(
+        self,
+        phones: List[int],
+        self_loop_pdf_class: int,
+        forward_pdf_class: int,
+        phone_window: List[int],
+        pairs: set,
+    ) -> None:
+        """All (forward_pdf, self_loop_pdf) pairs reachable for this
+        (possibly partially filled) context window.
+
+        Positions holding -1 are unconstrained; 0 in a non-central
+        position means "no phone here" (BOS/EOS).  When both the
+        forward and self-loop queries are ambiguous (the tree splits on
+        an unfilled position), the window is refined one position at a
+        time — the unfilled slot nearest the central position — over
+        {0} + phones, so only pairs that co-occur for some actual
+        context survive (a plain cross product would invent pairs).
+        Mirrors context-dep.cc EnumeratePairs (context-dep.cc:85-163).
+        """
+
+        def query(pdf_class: int) -> List[int]:
+            event: EventType = [
+                (i, ph) for i, ph in enumerate(phone_window) if ph >= 0
+            ]
+            event.append((K_PDF_CLASS, pdf_class))
+            event.sort()
+            out: List[int] = []
+            self.to_pdf.multi_map(event, out)
+            return sorted(set(out))
+
+        forward_pdfs = query(forward_pdf_class)
+        if self_loop_pdf_class < 0:
+            # no self-loop on this state: pair with the -1 sentinel
+            pairs.update((f, -1) for f in forward_pdfs)
+            return
+        self_loop_pdfs = query(self_loop_pdf_class)
+        if len(forward_pdfs) == 1 or len(self_loop_pdfs) == 1:
+            pairs.update(
+                (f, s) for f in forward_pdfs for s in self_loop_pdfs
+            )
+            return
+        # refine the unfilled position closest to the central phone
+        position, min_dist = 0, self.N - 1
+        for i in range(self.N):
+            dist = abs(self.P - i)
+            if phone_window[i] == -1 and dist < min_dist:
+                position, min_dist = i, dist
+        assert min_dist < self.N and position != self.P
+        window = list(phone_window)
+        for value in [0] + list(phones):
+            window[position] = value
+            self.enumerate_pairs(
+                phones, self_loop_pdf_class, forward_pdf_class, window,
+                pairs,
+            )
+
+    def get_pdf_info_pairs(
+        self,
+        phones: List[int],
+        pdf_class_pairs,  # phone -> [(forward_pdf_class, self_loop_pdf_class)]
+    ):
+        """For each phone and each of its (forward, self-loop) pdf-class
+        pairs, the sorted list of realizable (forward_pdf, self_loop_pdf)
+        pairs over all contexts.  Mirrors the pairs overload of
+        context-dep.cc GetPdfInfo (context-dep.cc:210-239); used by
+        ComputeTuplesNotHmm-style tuple enumeration for non-HMM
+        topologies with N>1 trees.
+        """
+        pdf_info = {phone: [] for phone in phones}
+        for phone in phones:
+            for fwd_class, slf_class in pdf_class_pairs[phone]:
+                window = [-1] * self.N
+                window[self.P] = phone
+                pairs: set = set()
+                self.enumerate_pairs(
+                    phones, slf_class, fwd_class, window, pairs
+                )
+                pdf_info[phone].append(sorted(pairs))
+        return pdf_info
+
     def __getstate__(self):
         # The EventMap classes are plain Python objects; default pickling of
         # the tree works, but keep the signature explicit for stability.

@@ -85,32 +85,30 @@ class TransitionModel:
                     self.tuples.append((phone, hmm_state, pdf, pdf))
 
     def _compute_tuples_not_hmm(self, ctx_dep: ContextDependency) -> None:
-        # Non-'hmm' topologies (e.g. CTC/chain-style with distinct forward and
-        # self-loop pdf-classes).  Mirrors ComputeTuplesNotHmm
-        # (transition-model.cc:181-252); only the monophone (N=1) tree case is
-        # supported, where EnumeratePairs degenerates to direct tree queries.
+        # Non-'hmm' topologies (e.g. CTC/chain-style with distinct forward
+        # and self-loop pdf-classes), tree-general: realizable
+        # (forward_pdf, self_loop_pdf) pairs come from the context tree's
+        # pair enumeration over all contexts, so N>1 (triphone etc.) trees
+        # work.  Mirrors ComputeTuplesNotHmm (transition-model.cc:181-252)
+        # including its per-state-occurrence structure, which defines the
+        # tuple multiset and hence the numbering contract.
         phones = self.topo.phones
-        assert ctx_dep.N == 1, "non-HMM topologies currently require monophone trees"
+        pdf_class_pairs = {p: [] for p in phones}
+        state_lists = {p: {} for p in phones}
         for phone in phones:
-            entry = self.topo.topology_for_phone(phone)
-            pdf_class_pairs = []
-            state_lists = {}
-            for j, st in enumerate(entry):
+            for j, st in enumerate(self.topo.topology_for_phone(phone)):
                 if st.forward_pdf_class != K_NO_PDF:
                     pair = (st.forward_pdf_class, st.self_loop_pdf_class)
-                    pdf_class_pairs.append(pair)
-                    state_lists.setdefault(pair, []).append(j)
-            seen_pairs = set()
-            for pair in pdf_class_pairs:
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                fwd_class, slf_class = pair
-                fwd_pdf = ctx_dep.compute([phone], fwd_class)
-                slf_pdf = ctx_dep.compute([phone], slf_class)
-                assert fwd_pdf is not None and slf_pdf is not None
-                for hmm_state in state_lists[pair]:
-                    self.tuples.append((phone, hmm_state, fwd_pdf, slf_pdf))
+                    pdf_class_pairs[phone].append(pair)
+                    state_lists[phone].setdefault(pair, []).append(j)
+        pdf_info = ctx_dep.get_pdf_info_pairs(phones, pdf_class_pairs)
+        for phone in phones:
+            for j, pair in enumerate(pdf_class_pairs[phone]):
+                for hmm_state in state_lists[phone][pair]:
+                    for fwd_pdf, slf_pdf in pdf_info[phone][j]:
+                        self.tuples.append(
+                            (phone, hmm_state, fwd_pdf, slf_pdf)
+                        )
 
     def _compute_derived(self) -> None:
         num_tstates = len(self.tuples)

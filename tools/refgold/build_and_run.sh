@@ -68,6 +68,18 @@ python tools/refgold/make_em_problem.py tests/golden/em_problem_long.txt \
 python -m json.tool tests/golden/em_loop_golden_long.json > /dev/null \
   && echo "em loop golden (long) JSON valid"
 
+# chain-topology (non-HMM) tuple enumeration golden: reference
+# ComputeTuplesNotHmm + EnumeratePairs over khg_tpu-exported trees
+g++ -O2 -std=c++17 \
+  -I"$REF" -Itools/refgold/include -I"$EIGEN" \
+  -include tools/refgold/include/compat/eigen_compat.h \
+  tools/refgold/tuples_runner.cc $SRCS -o "$OUT/tuples_runner"
+python tools/refgold/make_tuples_problem.py tests/golden/inputs
+"$OUT/tuples_runner" tests/golden/inputs \
+  tests/golden/chain_tuples_golden.json
+python -m json.tool tests/golden/chain_tuples_golden.json > /dev/null \
+  && echo "chain tuples golden JSON valid"
+
 # lattice parity: reference LatticeFasterDecoderTpl over a khg_tpu HCLG
 g++ -O2 -std=c++17 -Dint32=int32_t \
   -I"$REF" -Itools/refgold/include \
