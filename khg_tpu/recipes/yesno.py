@@ -184,6 +184,20 @@ def apply_det_split_perturb(am, old_counts, eps: float, pass_idx: int):
             g.compute_gconsts()
 
 
+def _round_model_f32(am) -> None:
+    """Round every DiagGmm's parameters through float32 — the precision
+    the reference keeps between passes (FloatMatrix storage) — leaving
+    all arithmetic unchanged."""
+    for p in range(am.num_pdfs):
+        g = am.get_pdf(p)
+        g.means_invvars = g.means_invvars.astype(np.float32).astype(
+            np.float64
+        )
+        g.inv_vars = g.inv_vars.astype(np.float32).astype(np.float64)
+        g.weights = g.weights.astype(np.float32).astype(np.float64)
+        g.compute_gconsts()
+
+
 def train_yesno(
     lp: Lexiconp,
     corpus: SyntheticCorpus,
@@ -198,7 +212,15 @@ def train_yesno(
     perturb_factor: float = 0.01,
     checkpoint_dir: Optional[str] = None,
     det_split_perturb: float = 0.0,
+    f32_storage: bool = False,
 ) -> TrainResult:
+    """``f32_storage=True`` rounds the model parameters through float32
+    after every M-step, emulating the reference's storage precision
+    (its DiagGmm matrices are FloatMatrix, eigen.h:10-16, while khg
+    keeps f64 between passes).  Used by
+    tools/measure_golden_envelope.py to MEASURE the f32-vs-f64
+    trajectory drift that tests/test_em_loop_golden.py's envelope
+    tolerates."""
     from khg_tpu.utils.checkpoint import (
         latest_checkpoint,
         load_checkpoint,
@@ -287,6 +309,8 @@ def train_yesno(
             mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
         apply_det_split_perturb(am, old_counts, det_split_perturb, 0)
+        if f32_storage:
+            _round_model_f32(am)
         gauss_sched = [am.num_gauss]
 
     realign_set = set(realign_iters.split())
@@ -323,6 +347,8 @@ def train_yesno(
             mixup=num_gauss, perturb_factor=perturb_factor, rng=rng,
         )
         apply_det_split_perturb(am, old_counts, det_split_perturb, it + 1)
+        if f32_storage:
+            _round_model_f32(am)
         gauss_sched.append(am.num_gauss)
         if it < max_iter_inc:
             num_gauss += inc_gauss

@@ -50,16 +50,26 @@ PROBLEM_FILES = {
 # toy: flat 2e-3 — observed drift < 1e-5 over 8 passes; any semantic
 # difference (a misscheduled realign) moves passes by > 1e-2.
 #
-# long: a pass-indexed ENVELOPE.  With the shared deterministic split
-# perturbation both loops take the same discrete branches (schedule,
-# realignments, removals all match exactly), but the continuous model
-# state drifts smoothly — khg keeps means/vars in f64 while the
-# reference's storage is f32, and 80 passes of EM-with-realign-feedback
-# compound the representation difference.  Measured drift: 0 through
-# pass 15, then smooth growth to 0.105 at pass 80 (see docs/design.md
-# round-4 notes); the envelope allows 2x that slope.  A semantic
-# difference still goes red: the round-4 perturb-twin bug produced
-# jumps of 1.0+ by pass 10, far outside the envelope.
+# long: a pass-indexed ENVELOPE, now MEASURED (round 5,
+# tools/measure_golden_envelope.py -> docs/envelope_long.json).  With
+# the shared deterministic split perturbation both loops take the same
+# discrete branches (schedule, realignments, removals all match
+# exactly) while the trajectory drifts smoothly to |d| = 0.105 at pass
+# 80.  The a/b run REFUTED the old f32-vs-f64-storage attribution:
+# rounding khg's model through f32 after every M-step (exactly the
+# reference's FloatMatrix storage precision) moves khg's trajectory by
+# at most 3.1e-3 and leaves the distance to the golden essentially
+# unchanged (max 0.1049 f64 vs 0.1063 f32-rounded), with the discrete
+# schedule still identical.  The dominant term is therefore not
+# representation precision but f32 arithmetic-ORDER differences in
+# scoring (device GEMM vs the reference's Eigen host loops) flipping a
+# small fraction of Viterbi ties; the final-alignment test measures
+# that fraction at <= 0.5% of frames, and per-frame loglikes of O(-20)
+# times 0.5% re-aligned frames is exactly the observed O(0.1) scale,
+# compounding once mix-up's min-count regime begins (~pass 15).  The
+# envelope allows 2x the measured slope; a semantic difference still
+# goes red (the round-4 perturb-twin bug produced jumps of 1.0+ by
+# pass 10, far outside it).
 def traj_atol(config: str, num_passes: int) -> np.ndarray:
     if config == "toy":
         return np.full(num_passes, 2e-3)
@@ -100,6 +110,39 @@ def khg_run(config):
         det_split_perturb=cfg["det_split_perturb"],
     )
     return result
+
+
+def test_f32_storage_twin_toy(config, golden, khg_run):
+    """The f32_storage emulation knob (used by
+    tools/measure_golden_envelope.py) must not change any discrete
+    branch and must stay within the storage-precision scale of the f64
+    run — pins the hook that produced docs/envelope_toy/long.json."""
+    if config != "toy":
+        pytest.skip("long config measured offline (docs/envelope_long.json)")
+    cfg = prob.CONFIGS[config]
+    lp, corpus = make_synthetic_corpus(
+        num_utts=cfg["num_utts"],
+        dim=cfg["dim"],
+        rng=np.random.default_rng(cfg["corpus_seed"]),
+    )
+    r32 = train_yesno(
+        lp, corpus,
+        num_iters=cfg["num_iters"],
+        realign_iters=cfg["realign_iters"],
+        total_gauss=cfg["total_gauss"],
+        max_iter_inc=cfg["max_iter_inc"],
+        acoustic_scale=prob.ACOUSTIC_SCALE,
+        self_loop_scale=prob.SELF_LOOP_SCALE,
+        boost=cfg["boost"],
+        seed=cfg["train_seed"],
+        perturb_factor=0.0,
+        det_split_perturb=cfg["det_split_perturb"],
+        f32_storage=True,
+    )
+    assert r32.num_gauss_after_est == khg_run.num_gauss_after_est
+    np.testing.assert_allclose(
+        r32.avg_loglikes, khg_run.avg_loglikes, atol=1e-4
+    )
 
 
 def test_problem_export_is_current(config, tmp_path):
