@@ -786,6 +786,166 @@ def sharded_resident_em_loop(
     )
 
 
+def sharded_resident_fb_em_loop(
+    mesh: Mesh,
+    num_pdfs: int,
+    num_mix: int,
+    dim: int,
+    num_tids: int,
+    struct,
+    acoustic_scale: float = 1.0,
+    transition_scale: float = 1.0,
+    self_loop_scale: float = 1.0,
+    uniform_dest_pdf: bool = False,
+    banded_offsets: Optional[Tuple[int, ...]] = None,
+    banded_interpret: bool = False,
+    mle_config=None,
+    transition_cfg=None,
+) -> ShardedResidentEmLoop:
+    """Soft-EM (Baum-Welch) twin of sharded_resident_em_loop: the
+    per-shard E-step is the forward-backward pass (expected posteriors
+    and expected transition counts), folded into the same flat Kahan
+    carry; the replicated finish runs the dense M-step, the transition
+    update on EXPECTED counts, and the cost-delta refresh — one psum
+    per pass, one host fetch per stretch.  Same delta-shortcut
+    contract: banded FB batches are parallel-arc-free by construction
+    (the packer rejects them), XLA tables exact unconditionally.
+
+    Equality anchor: stats contract of mle-diag-gmm.cc:100-158 fed by
+    posteriors; psum == serial sum (tests/test_parallel.py).
+    """
+    from jax import shard_map
+
+    from khg_tpu.align.banded import BandedGraphs
+    from khg_tpu.align.packed import BatchedGraphs
+    from khg_tpu.model.transition_device import (
+        factored_take,
+        transition_cost_deltas_device,
+        transition_mle_update_device,
+    )
+    from khg_tpu.model.transition_model import MleTransitionUpdateConfig
+    from khg_tpu.recipes.pipeline import _carry_width, _soft_carry_fold
+
+    tcfg = transition_cfg or MleTransitionUpdateConfig()
+    assert not tcfg.share_for_pdfs
+    dp = P("dp")
+    rep = P()
+    n_dev = mesh.devices.size
+    W = _carry_width(num_pdfs, num_mix, dim, num_tids)
+    banded = banded_offsets is not None
+
+    def fold(model, delta, carry, comp, graphs, feats, num_frames):
+        gconsts, miv, iv, _weights = model
+        ll = gmm_loglikes(gconsts, miv, iv, feats)
+        if banded:
+            from khg_tpu.align.pallas_banded_fb import (
+                forward_backward_banded,
+            )
+
+            graphs = graphs._replace(
+                plane_cost=graphs.plane_cost
+                + factored_take(delta, graphs.plane_tid)
+            )
+            fb = forward_backward_banded(
+                graphs, banded_offsets, ll, num_frames, num_tids,
+                acoustic_scale=acoustic_scale,
+                block_b=min(16, graphs.plane_cost.shape[0]),
+                interpret=banded_interpret,
+            )
+        else:
+            from khg_tpu.align.forward_backward import (
+                forward_backward_batch,
+            )
+
+            graphs = graphs._replace(
+                in_cost=graphs.in_cost
+                + factored_take(delta, graphs.in_tid),
+                out_cost=graphs.out_cost
+                + factored_take(delta, graphs.out_tid),
+            )
+            fb = forward_backward_batch(
+                graphs, ll, num_frames, num_tids,
+                acoustic_scale=acoustic_scale,
+                state_pdf=(
+                    graphs.in_pdf[:, :, 0] if uniform_dest_pdf else None
+                ),
+            )
+        c, k = _soft_carry_fold(
+            gconsts, miv, iv, feats, fb.log_z, fb.gamma, fb.tid_counts,
+            fb.failed, carry[0], comp[0],
+        )
+        return c[None], k[None]
+
+    graphs_spec = (
+        BandedGraphs(*([dp] * 5))
+        if banded
+        else BatchedGraphs(*([dp] * 10))
+    )
+    fold_sharded = jax.jit(
+        shard_map(
+            fold,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), rep, dp, dp, graphs_spec,
+                      dp, dp),
+            out_specs=(dp, dp),
+            check_vma=False,
+        ),
+        donate_argnums=(2, 3),
+    )
+
+    def finish(model, carry, comp, logp):
+        gconsts, miv, iv, weights = model
+        total = jax.lax.psum(carry[0], "dp") + jax.lax.psum(comp[0], "dp")
+        pk = num_pdfs * num_mix
+        pkd = pk * dim
+        occ = total[:pk].reshape(num_pdfs, num_mix)
+        mean_acc = total[pk : pk + pkd].reshape(num_pdfs, num_mix, dim)
+        var_acc = total[pk + pkd : pk + 2 * pkd].reshape(
+            num_pdfs, num_mix, dim
+        )
+        new_model = _dense_mstep(
+            occ, mean_acc, var_acc, gconsts, miv, iv, weights,
+            **_mstep_kwargs(mle_config),
+        )
+        packet = total[pk + 2 * pkd :]
+        counts = packet[2 : 2 + num_tids + 1]
+        logp_new, _objf, _csum = transition_mle_update_device(
+            counts, logp, struct,
+            floor=tcfg.floor, mincount=tcfg.mincount,
+        )
+        delta_new = transition_cost_deltas_device(
+            logp_new, struct, transition_scale, self_loop_scale
+        )
+        return new_model, logp_new, delta_new, packet
+
+    finish_sharded = jax.jit(
+        shard_map(
+            finish,
+            mesh=mesh,
+            in_specs=((rep, rep, rep, rep), dp, dp, rep),
+            out_specs=((rep, rep, rep, rep), rep, rep, rep),
+            check_vma=False,
+        )
+    )
+
+    delta_fn = jax.jit(
+        lambda lp: transition_cost_deltas_device(
+            lp, struct, transition_scale, self_loop_scale
+        )
+    )
+
+    def make_carry():
+        sharding = NamedSharding(mesh, P("dp"))
+        return (
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+            jax.device_put(jnp.zeros((n_dev, W), jnp.float32), sharding),
+        )
+
+    return ShardedResidentEmLoop(
+        make_carry, fold_sharded, finish_sharded, delta_fn, W, num_tids
+    )
+
+
 def unpack_resident_packet(packet: np.ndarray, num_tids: int):
     """Split a finish() packet into (tot_log_like, tot_frames,
     tid_counts, like_sum, num_done, num_error, frame_count)."""

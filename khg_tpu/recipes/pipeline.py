@@ -255,43 +255,47 @@ def _hard_stats_carry(
 _hard_carry_jit = None
 
 
+def _soft_carry_fold(gconsts, miv, iv, bfeats, log_z, gamma, tid_counts,
+                     failed, carry, comp):
+    """Traceable: fold one forward-backward batch's soft stats into the
+    carry (layout identical to _carry_fold's, so the same finishers
+    work; the frame_count tail slot is 0 — FB has no per-frame hard
+    assignment)."""
+    import jax.numpy as jnp
+
+    from khg_tpu.stats.accum import accumulate_am_stats_soft
+
+    ok = ~failed
+    gamma = jnp.where(ok[:, None, None], gamma, 0.0)
+    s = accumulate_am_stats_soft(gconsts, miv, iv, bfeats, gamma)
+    counts = jnp.sum(
+        jnp.where(ok[:, None], tid_counts, 0.0), axis=0
+    )
+    okf = ok.astype(jnp.float32)
+    x = jnp.concatenate(
+        [
+            s.occ.ravel(),
+            s.mean_acc.ravel(),
+            s.var_acc.ravel(),
+            s.tot_log_like[None],
+            s.tot_frames[None],
+            counts,
+            jnp.sum(jnp.where(ok, log_z, 0.0))[None],
+            jnp.sum(okf)[None],
+            jnp.sum(failed.astype(jnp.float32))[None],
+            jnp.zeros((1,), jnp.float32),
+        ]
+    )
+    return _kahan_add(carry, comp, x)
+
+
 def _soft_stats_carry(gconsts, miv, iv, bfeats, fb, carry, comp):
     """Fold one forward-backward batch's soft stats into the carry."""
     import jax
 
     global _soft_carry_jit
     if _soft_carry_jit is None:
-
-        def f(gconsts, miv, iv, bfeats, log_z, gamma, tid_counts, failed,
-              carry, comp):
-            import jax.numpy as jnp
-
-            from khg_tpu.stats.accum import accumulate_am_stats_soft
-
-            ok = ~failed
-            gamma = jnp.where(ok[:, None, None], gamma, 0.0)
-            s = accumulate_am_stats_soft(gconsts, miv, iv, bfeats, gamma)
-            counts = jnp.sum(
-                jnp.where(ok[:, None], tid_counts, 0.0), axis=0
-            )
-            okf = ok.astype(jnp.float32)
-            x = jnp.concatenate(
-                [
-                    s.occ.ravel(),
-                    s.mean_acc.ravel(),
-                    s.var_acc.ravel(),
-                    s.tot_log_like[None],
-                    s.tot_frames[None],
-                    counts,
-                    jnp.sum(jnp.where(ok, log_z, 0.0))[None],
-                    jnp.sum(okf)[None],
-                    jnp.sum(failed.astype(jnp.float32))[None],
-                    jnp.zeros((1,), jnp.float32),
-                ]
-            )
-            return _kahan_add(carry, comp, x)
-
-        _soft_carry_jit = jax.jit(f, donate_argnums=(8, 9))
+        _soft_carry_jit = jax.jit(_soft_carry_fold, donate_argnums=(8, 9))
     return _soft_carry_jit(
         gconsts, miv, iv, bfeats, fb.log_z, fb.gamma, fb.tid_counts,
         fb.failed, carry, comp,
@@ -1057,6 +1061,79 @@ class EStepPipeline:
         self._fused_jit_cache[key] = fn
         return fn
 
+    def _fused_fb_carry_delta_fn(self, banded_args):
+        """Soft-EM twin of _fused_carry_delta_fn: apply the current
+        transition cost deltas in-trace, run forward-backward, fold the
+        soft stats into the carry — one dispatch per batch.  The banded
+        FB packing already rejects parallel-arc batches
+        (reject_parallel), so the delta shortcut is exact wherever the
+        kernel runs; the XLA tables are exact unconditionally."""
+        if banded_args is not None:
+            _, offsets, block_b, interpret = banded_args
+            key = ("fb-banded-delta", offsets, block_b, interpret)
+        else:
+            key = ("fb-xla-delta",)
+        fn = self._fused_jit_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        acoustic_scale = self.acoustic_scale
+        num_tids = self.tm.num_transition_ids
+        if banded_args is not None:
+            from khg_tpu.align.pallas_banded_fb import (
+                forward_backward_banded,
+            )
+
+            def step(gconsts, miv, iv, bfeats, lens, tables, delta,
+                     carry, comp):
+                from khg_tpu.model.transition_device import factored_take
+
+                tables = tables._replace(
+                    plane_cost=tables.plane_cost
+                    + factored_take(delta, tables.plane_tid)
+                )
+                ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                fb = forward_backward_banded(
+                    tables, offsets, ll, lens, num_tids,
+                    acoustic_scale=acoustic_scale, block_b=block_b,
+                    interpret=interpret,
+                )
+                return _soft_carry_fold(
+                    gconsts, miv, iv, bfeats, fb.log_z, fb.gamma,
+                    fb.tid_counts, fb.failed, carry, comp,
+                )
+
+            fn = jax.jit(step, donate_argnums=(7, 8))
+        else:
+            from khg_tpu.align.forward_backward import (
+                forward_backward_batch,
+            )
+
+            def step(gconsts, miv, iv, bfeats, lens, tables, state_pdf,
+                     delta, carry, comp):
+                from khg_tpu.model.transition_device import factored_take
+
+                tables = tables._replace(
+                    in_cost=tables.in_cost
+                    + factored_take(delta, tables.in_tid),
+                    out_cost=tables.out_cost
+                    + factored_take(delta, tables.out_tid),
+                )
+                ll = self._loglikes_raw(gconsts, miv, iv, bfeats)
+                fb = forward_backward_batch(
+                    tables, ll, lens, num_tids,
+                    acoustic_scale=acoustic_scale, state_pdf=state_pdf,
+                )
+                return _soft_carry_fold(
+                    gconsts, miv, iv, bfeats, fb.log_z, fb.gamma,
+                    fb.tid_counts, fb.failed, carry, comp,
+                )
+
+            fn = jax.jit(step, donate_argnums=(8, 9))
+        self._fused_jit_cache[key] = fn
+        return fn
+
     @staticmethod
     def _banded_parallel_free(graphs) -> bool:
         """True when no (src, dst) pair carries 2+ real arcs: banded
@@ -1266,6 +1343,111 @@ class EStepPipeline:
         if n_err:
             logger.warning(
                 "Alignment failed for %d utterance-passes",
+                int(round(n_err)),
+            )
+        return (gconsts, miv, iv, weights), rec
+
+    def fb_em_passes_resident(
+        self,
+        model,
+        base_packed_graphs: Sequence[PackedGraph],
+        feats: Sequence[np.ndarray],
+        passes: int,
+        mle_config=None,
+        transition_cfg=None,
+    ):
+        """Soft-EM (Baum-Welch) twin of em_passes_resident: ``passes``
+        consecutive forward-backward EM passes with model, stats carry,
+        transition model and graph costs all device-resident — the
+        transition update runs on the EXPECTED tid counts (reference
+        contract: the same accumulate/update stats path,
+        mle-diag-gmm.cc:100-158, fed by posteriors instead of a hard
+        alignment), and the host fetches one record block at the end.
+
+        Returns (new_model, records); records rows are [tot_log_like,
+        tot_frames, log_z_sum, num_done, num_error, 0, t_objf, t_count]
+        (the frame_count slot is 0 — FB has no hard assignment).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from khg_tpu.model.transition_device import (
+            build_transition_struct,
+            transition_cost_deltas_device,
+        )
+        from khg_tpu.model.transition_model import (
+            MleTransitionUpdateConfig,
+        )
+
+        gconsts, miv, iv, weights = model
+        P, K = gconsts.shape
+        D = miv.shape[-1]
+        num_tids = self.tm.num_transition_ids
+        tcfg = transition_cfg or MleTransitionUpdateConfig()
+        assert not tcfg.share_for_pdfs
+        struct = build_transition_struct(self.tm)
+        logp = jnp.asarray(np.asarray(self.tm.log_probs, np.float32))
+        dkey = ("tdelta", self.transition_scale, self.self_loop_scale,
+                struct.num_tids, len(struct.sizes))
+        delta_fn = self._fused_jit_cache.get(dkey)
+        if delta_fn is None:
+            delta_fn = jax.jit(
+                lambda lp: transition_cost_deltas_device(
+                    lp, struct, self.transition_scale,
+                    self.self_loop_scale,
+                )
+            )
+            self._fused_jit_cache[dkey] = delta_fn
+        delta = delta_fn(logp)
+
+        n = len(feats)
+        order = sorted(range(n), key=lambda i: feats[i].shape[0])
+        batches = []
+        for lo in range(0, n, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            bfeats, lens, bt = self._batch_feats(idx, feats)
+            graphs, banded_args, state_pdf = self._batch_graphs(
+                idx, base_packed_graphs, bt, fb=True
+            )
+            batches.append((bfeats, lens, graphs, banded_args, state_pdf))
+
+        finish = self._resident_loop_finish_fn(
+            P, K, D, num_tids, mle_config, struct, tcfg
+        )
+        width = _carry_width(P, K, D, num_tids)
+        rows = []
+        total_frames = sum(f.shape[0] for f in feats) * passes
+        with self.counters.phase("fb", frames=total_frames):
+            for p in range(passes):
+                carry = jnp.zeros(width, jnp.float32)
+                comp = jnp.zeros(width, jnp.float32)
+                for bfeats, lens, graphs, banded_args, state_pdf in batches:
+                    if banded_args is not None:
+                        fn = self._fused_fb_carry_delta_fn(banded_args)
+                        carry, comp = fn(
+                            gconsts, miv, iv, bfeats, lens,
+                            banded_args[0], delta, carry, comp,
+                        )
+                    else:
+                        fn = self._fused_fb_carry_delta_fn(None)
+                        carry, comp = fn(
+                            gconsts, miv, iv, bfeats, lens, graphs,
+                            state_pdf, delta, carry, comp,
+                        )
+                (gconsts, miv, iv, weights), logp, delta, row = finish(
+                    gconsts, miv, iv, weights, carry, logp,
+                )
+                rows.append(row)
+            rec = np.asarray(
+                jax.device_get(jnp.stack(rows)), np.float64
+            )
+            logp_host = np.asarray(jax.device_get(logp), np.float32)
+        self.tm.log_probs[1:] = logp_host[1:]
+        self.tm._compute_derived_of_probs()
+        n_err = rec[:, 4].sum()
+        if n_err:
+            logger.warning(
+                "Forward-backward failed for %d utterance-passes",
                 int(round(n_err)),
             )
         return (gconsts, miv, iv, weights), rec
