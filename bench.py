@@ -897,6 +897,49 @@ def main():
     print(json.dumps(rec))
 
 
+def _merge_corpus_train(line: str, tpu_ok: bool) -> str:
+    """Run the corpus-scale training recipe (its own subprocess + its
+    own budget — a >=10k-utt flat-start->mix-up->resident-EM->WER run is
+    minutes of wall time, far over the 540 s inner watchdog) and merge
+    its corpus_train_* keys into the bench record.  The exp dir is
+    persistent and every stage resumes, so an interrupted attempt picks
+    up where it left off on the next bench run.  Failures leave the main
+    record untouched."""
+    import subprocess
+
+    if not tpu_ok or os.environ.get("KHG_BENCH_NO_CORPUS_TRAIN"):
+        return line
+    repo = os.path.dirname(os.path.abspath(__file__))
+    runner = os.path.join(repo, "egs", "audiomnist_10k", "run.py")
+    exp = os.environ.get("KHG_BENCH_TRAIN_EXP", "/tmp/khg_bench_10k")
+    utts = os.environ.get("KHG_BENCH_TRAIN_UTTS", "10000")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", runner, "--exp-dir", exp,
+             "--num-utts", utts, "--json"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        out = None
+        for ln in reversed(proc.stdout.splitlines()):
+            ln = ln.strip()
+            if ln.startswith("{") and "corpus_train" in ln:
+                out = json.loads(ln)
+                break
+        if out is None:
+            print(
+                f"corpus train produced no record (rc={proc.returncode}):"
+                f" {proc.stdout[-1000:]} {proc.stderr[-1000:]}",
+                file=sys.stderr,
+            )
+            return line
+        rec = json.loads(line)
+        rec.update(out)
+        return json.dumps(rec)
+    except Exception as e:
+        print(f"corpus train bench failed: {e}", file=sys.stderr)
+        return line
+
+
 def orchestrate():
     """Run the measurement in a subprocess with a watchdog.
 
@@ -928,6 +971,7 @@ def orchestrate():
                     rec = json.loads(line)
                     rec["metric"] += f" ({note})"
                     line = json.dumps(rec)
+                line = _merge_corpus_train(line, note is None)
                 print(line)
                 return
     print(
