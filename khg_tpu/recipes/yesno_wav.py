@@ -273,6 +273,7 @@ def extract_features(
     feature_type: str = "fbank",
     mfcc_cfg=None,
     delta_order: int = 0,
+    max_batch: int = 512,
 ) -> WavCorpus:
     """Read every WAV and compute fbank, batched by length bucket.
 
@@ -345,12 +346,29 @@ def extract_features(
         nb = -(-len(w) // bucket_samples) * bucket_samples
         buckets.setdefault(nb, []).append(i)
 
-    feats: List[Optional[np.ndarray]] = [None] * len(waves)
+    # bound each dispatch to max_batch rows and round row counts up to a
+    # power of two: at corpus scale a bucket can hold thousands of
+    # utterances, and a (4000, 40000) one-shot batch means a fresh
+    # multi-minute remote compile AND multi-GB device intermediates;
+    # arbitrary tail-chunk row counts each mean a novel compiled shape
+    # (observed: one odd 324-row bucket cost another ~8-minute tunnel
+    # compile).  Power-of-two rows cap the distinct shapes per bucket
+    # length at log2(max_batch); padded rows are zero waves whose
+    # outputs are discarded.
+    chunked = []
     for nb, idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), max_batch):
+            chunked.append((nb, idxs[lo : lo + max_batch]))
+
+    feats: List[Optional[np.ndarray]] = [None] * len(waves)
+    for nb, idxs in chunked:
+        rows = 1 << (len(idxs) - 1).bit_length()
         batch = np.stack(
             [np.pad(waves[i], (0, nb - len(waves[i])), mode="symmetric")
              for i in idxs]
         )
+        if rows > len(idxs):
+            batch = np.pad(batch, ((0, rows - len(idxs)), (0, 0)))
         if feature_type == "mfcc":
             from khg_tpu.features.mfcc import (
                 compute_mfcc_batch,
