@@ -248,37 +248,41 @@ def train_corpus(
         ckpt(0)
         start_iter = 1
 
-    # ---- GROWTH phase: per-iter device-carry E-step + host M-step +
-    # mix-up (shape grows, so occupancies must reach the host)
+    # ---- GROWTH phase: one fully-resident pass per iter (device
+    # M-step + device transition update + in-trace cost deltas — no
+    # per-iter graph refresh/repack, which dominated an earlier
+    # host-M-step formulation at 10k utts: refreshing creates new
+    # PackedGraph objects, so every batch-table cache missed and
+    # re-uploaded every iteration).  Mix-up is the only step that needs
+    # the host: per-pdf occupancies are a (P, K) fetch off the carry.
     t_growth = time.perf_counter()
     it = start_iter
+    model = pipeline.pack_model_device(am)
     while it <= min(max_iter_inc, num_iters - 1):
         # ramp matches train.py (est at target, then raise after): with
         # this loop 1-based, raising first gives the identical per-iter
         # target sequence — max_iter_inc increments total
         num_gauss += inc_gauss
-        packed = pipeline.refresh_transition_costs(base)
-        accs = AccumAmDiagGmm()
-        accs.init(am, flags=0b1111)
-        tacc = tm.init_stats()
-        res = pipeline.align_and_accumulate(
-            am, packed, feats, accs, tacc, return_alignments=False,
+        model, rec, occ = pipeline.em_passes_resident(
+            model, base, feats, 1,
+            mle_config=gmm_opts, transition_cfg=tcfg, return_occ=True,
         )
-        if res.num_error:
+        if rec[0, 4]:
             logger.warning("iter %d: %d alignment failures", it,
-                           res.num_error)
-        # acoustic avg log-like (same quantity the resident records
-        # carry in row[0]/row[1], keeping the series comparable)
-        avg_loglikes.append(accs.tot_log_like / max(accs.tot_count, 1.0))
+                           int(rec[0, 4]))
+        avg_loglikes.append(rec[0, 0] / max(rec[0, 1], 1.0))
         logger.info(
             "iter %d avg ll/frame: %.4f (%d Gauss -> target %d)",
             it, avg_loglikes[-1], am.num_gauss, num_gauss,
         )
-        gmm_est(
-            am, accs, tm, tacc, tcfg, gmm_opts,
-            mixup=num_gauss, perturb_factor=perturb_factor,
-            power=power, min_count=min_count, rng=rng,
+        # device M-step already ran (== host MLE update, pinned by
+        # tests/test_carry_estep.py); sync and grow on the host
+        pipeline.apply_model_to_am(model, am)
+        occs = occ.sum(axis=1)[: am.num_pdfs].astype(np.float32)
+        am.split_by_count(
+            occs, num_gauss, perturb_factor, power, min_count, rng=rng
         )
+        model = pipeline.pack_model_device(am)
         gauss_sched.append(am.num_gauss)
         ckpt(it)
         it += 1

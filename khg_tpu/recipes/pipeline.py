@@ -1258,6 +1258,7 @@ class EStepPipeline:
         passes: int,
         mle_config=None,
         transition_cfg=None,
+        return_occ: bool = False,
     ):
         """``passes`` consecutive EM passes with EVERYTHING resident:
         model, stats carry, transition model, and graph costs all live
@@ -1374,10 +1375,19 @@ class EStepPipeline:
                     gconsts, miv, iv, weights, carry, logp,
                 )
                 rows.append(row)
+                # the finisher does not donate the carry, so the final
+                # pass's occupancies are still fetchable — the only
+                # extra data mix-up growth needs (P*K floats)
+                occ_carry = carry if return_occ else None
             rec = np.asarray(
                 jax.device_get(jnp.stack(rows)), np.float64
             )
             logp_host = np.asarray(jax.device_get(logp), np.float32)
+            occ = None
+            if return_occ:
+                occ = np.asarray(
+                    jax.device_get(occ_carry[: P * K]), np.float64
+                ).reshape(P, K)
         self.tm.log_probs[1:] = logp_host[1:]
         self.tm._compute_derived_of_probs()
         n_err = rec[:, 4].sum()
@@ -1386,6 +1396,8 @@ class EStepPipeline:
                 "Alignment failed for %d utterance-passes",
                 int(round(n_err)),
             )
+        if return_occ:
+            return (gconsts, miv, iv, weights), rec, occ
         return (gconsts, miv, iv, weights), rec
 
     def fb_em_passes_resident(
