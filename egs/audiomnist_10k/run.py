@@ -237,8 +237,38 @@ def main():
             hclg, LatticeFasterDecoderConfig(beam=40.0, lattice_beam=6.0)
         )
         id2pdf = tm.id2pdf_array()
-        packed = am.pack()
-        lls = [loglikes_np(packed, corpus.feats[i]) for i in test_ids]
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform == "cpu":
+            packed = am.pack()
+            lls = [loglikes_np(packed, corpus.feats[i]) for i in test_ids]
+        else:
+            # batched device scoring (host numpy scoring of 500 utts at
+            # ~1k Gaussians costs minutes; one bucketed GEMM per shape
+            # on the chip is seconds)
+            from khg_tpu.gmm.likelihoods import loglikes as gmm_loglikes
+
+            pm = am.pack(mix_pad_to=8)
+            g_, m_, v_ = (jnp.asarray(x) for x in
+                          (pm.gconsts, pm.means_invvars, pm.inv_vars))
+            score = jax.jit(lambda f: gmm_loglikes(g_, m_, v_, f))
+            buckets = {}
+            for i in test_ids:
+                t = corpus.feats[i].shape[0]
+                buckets.setdefault(-(-t // 128) * 128, []).append(i)
+            ll_by_id = {}
+            for tb, ids in sorted(buckets.items()):
+                rows = 1 << (len(ids) - 1).bit_length()
+                fb = np.zeros(
+                    (rows, tb, corpus.feats[ids[0]].shape[1]), np.float32
+                )
+                for r, i in enumerate(ids):
+                    fb[r, : corpus.feats[i].shape[0]] = corpus.feats[i]
+                out = np.asarray(score(jnp.asarray(fb)))
+                for r, i in enumerate(ids):
+                    ll_by_id[i] = out[r, : corpus.feats[i].shape[0]]
+            lls = [ll_by_id[i] for i in test_ids]
         decoded = decode_utterances_parallel(
             decoder, lls, id2pdf, acoustic_scale=2.0
         )
