@@ -446,10 +446,15 @@ def monophone_floor_audit(problem, device, fused_s, iters=20):
         float(np.asarray(out).ravel()[0])
         return (time.perf_counter() - t0) / iters
 
-    # --- stage timings (standalone jits)
-    score_fn = jax.jit(lambda: gmm_loglikes(gconsts, miv, iv, feats))
+    # --- stage timings (standalone jits).  Each jit reduces its output
+    # to a scalar: fetch-syncing on the full (B, T, P) tensor would
+    # charge the stage for an output materialization the fused step
+    # never performs (measured 36 ms vs 16 ms for the WHOLE fused step).
+    score_fn = jax.jit(
+        lambda: jnp.sum(gmm_loglikes(gconsts, miv, iv, feats))
+    )
     t_score = timeit(score_fn)
-    ll = score_fn()
+    ll = jax.jit(lambda: gmm_loglikes(gconsts, miv, iv, feats))()
 
     banded = problem.get("banded")
     t_vit = None
@@ -459,14 +464,23 @@ def monophone_floor_audit(problem, device, fused_s, iters=20):
             int(problem["id2pdf"].max()) + 1,
         )
         if bb is not None:
-            graphs = jax.tree.map(put, banded)
-            offs = problem["offsets"]
-            vit_fn = jax.jit(lambda: viterbi_align_banded(
-                graphs, offs, ll, lens, id2pdf,
-                acoustic_scale=0.1, block_b=bb,
-                interpret=device.platform == "cpu",
-            ).total_cost)
-            t_vit = timeit(vit_fn)
+            try:
+                graphs = jax.tree.map(put, banded)
+                offs = problem["offsets"]
+                vit_fn = jax.jit(lambda: viterbi_align_banded(
+                    graphs, offs, ll, lens, id2pdf,
+                    acoustic_scale=0.1, block_b=bb,
+                    interpret=device.platform == "cpu",
+                ).total_cost)
+                t_vit = timeit(vit_fn)
+            except Exception as e:
+                # the STANDALONE kernel jit can hit the swallowed Mosaic
+                # compile-failure class even though the fused step's
+                # instance of the same kernel compiles (observed:
+                # tpu_compile_helper exit 1); the audit then reports the
+                # DP via the fused-minus-stages residual instead
+                print(f"floor audit: standalone viterbi failed: {e}",
+                      file=sys.stderr)
 
     pdf_ids = put(
         np.asarray(problem["id2pdf"])[
@@ -474,9 +488,9 @@ def monophone_floor_audit(problem, device, fused_s, iters=20):
         ]
     )
     fw = put(np.ones((B, T), np.float32))
-    stats_fn = jax.jit(lambda: accumulate_am_stats(
+    stats_fn = jax.jit(lambda: jnp.sum(accumulate_am_stats(
         gconsts, miv, iv, feats, pdf_ids, fw
-    ).occ)
+    ).occ))
     t_stats = timeit(stats_fn)
 
     # --- structural floors (true lower bounds)
@@ -500,6 +514,9 @@ def monophone_floor_audit(problem, device, fused_s, iters=20):
         "mono_fused_ms": round(fused_s * 1e3, 2),
         "mono_scoring_ms": round(t_score * 1e3, 2),
         "mono_stats_ms": round(t_stats * 1e3, 2),
+        # DP + glue as seen by the fused step (standalone stage times
+        # overlap-confounded; negative values mean XLA overlaps stages)
+        "mono_residual_ms": round((fused_s - t_score - t_stats) * 1e3, 2),
         "mono_scoring_floor_ms": round(f_score * 1e3, 2),
         "mono_stats_floor_ms": round(f_stats * 1e3, 2),
         "mono_structural_floor_ms": round(floor * 1e3, 2),
@@ -1109,15 +1126,19 @@ def orchestrate():
     import subprocess
 
     here = os.path.abspath(__file__)
-    for args, note in [
-        ([], None),
-        (["--headline-only"], "headline-only: full run timed out"),
-        (["--cpu-only"], "cpu-fallback: TPU unavailable"),
+    # the full run covers ~20 sub-benchmarks (floor audit, corpus EM
+    # hard+soft, decode + decomposition, triphone suite) — give it a
+    # budget sized to that, with the quick headline pass as the wedge
+    # detector fallback
+    for args, note, budget in [
+        ([], None, 1800),
+        (["--headline-only"], "headline-only: full run timed out", 420),
+        (["--cpu-only"], "cpu-fallback: TPU unavailable", 540),
     ]:
         try:
             proc = subprocess.run(
                 [sys.executable, "-u", here, "--inner", *args],
-                capture_output=True, text=True, timeout=540,
+                capture_output=True, text=True, timeout=budget,
             )
         except subprocess.TimeoutExpired:
             continue
@@ -1128,7 +1149,11 @@ def orchestrate():
                     rec = json.loads(line)
                     rec["metric"] += f" ({note})"
                     line = json.dumps(rec)
-                line = _merge_corpus_train(line, note is None)
+                # corpus train needs only a live TPU — run it for the
+                # full AND headline-only outcomes
+                line = _merge_corpus_train(
+                    line, "cpu" not in (note or "")
+                )
                 print(line)
                 return
     print(
