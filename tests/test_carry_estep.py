@@ -369,3 +369,50 @@ def test_em_passes_resident_failure_accounting():
     good = sum(f.shape[0] for i, f in enumerate(feats) if i != 2)
     np.testing.assert_array_equal(rec[:, 5], [good] * 3)
     assert np.all(np.isfinite(rec[:, 0]))
+
+
+def test_banded_compile_failure_demotes_to_xla(system, monkeypatch):
+    """A banded-kernel compile failure (real-chip scoped-VMEM OOMs
+    arrive as exceptions at dispatch) must demote that batch to the XLA
+    tables and keep the corpus pass running — results identical to the
+    pure XLA path."""
+    from khg_tpu.est.mle import MleDiagGmmOptions
+    from khg_tpu.recipes.pipeline import EStepPipeline
+
+    corpus, result = system
+    am, tm = result.am, result.transition_model
+    opts = MleDiagGmmOptions()
+
+    def run(backend, sabotage):
+        pipe = EStepPipeline(
+            tm, acoustic_scale=1.0, self_loop_scale=0.1, batch_size=2,
+            align_backend=backend,
+        )
+        if sabotage:
+            real = pipe._fused_carry_delta_fn
+
+            def exploding(banded_args, wide):
+                if banded_args is not None:
+                    def boom(*a, **k):
+                        raise RuntimeError(
+                            "Mosaic: scoped vmem limit exceeded (test)"
+                        )
+                    return boom
+                return real(None, False)
+
+            monkeypatch.setattr(
+                pipe, "_fused_carry_delta_fn", exploding
+            )
+        base = pipe.pack_graphs_base(result.graphs)
+        model = pipe.pack_model_device(am.copy())
+        model, rec = pipe.em_passes_resident(
+            model, base, corpus.feats, 2, mle_config=opts
+        )
+        return np.asarray(model[0]), rec
+
+    g_ref, rec_ref = run("xla", sabotage=False)
+    g_demoted, rec_demoted = run("banded", sabotage=True)
+    assert int(rec_demoted[:, 4].sum()) == 0
+    np.testing.assert_allclose(rec_demoted[:, 0], rec_ref[:, 0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(g_demoted, g_ref, rtol=1e-4, atol=1e-4)
