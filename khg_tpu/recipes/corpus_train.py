@@ -105,6 +105,8 @@ def train_corpus(
     self_loop_scale: float = 0.1,
     batch_size: int = 256,
     mix_pad_multiple: int = 8,
+    states_pad_multiple: int = 256,
+    frames_pad_multiple: int = 256,
     align_backend: str = "banded",
     perturb_factor: float = 0.01,
     power: float = 0.2,
@@ -184,10 +186,18 @@ def train_corpus(
     timings.setdefault("graph_compile_s", 0.0)
     timings["graph_compile_s"] += time.perf_counter() - t0
 
+    # coarse shape padding: each distinct (T-bucket x S-pad x K-pad)
+    # batch shape is one multi-second remote compile; at 10k utts fine
+    # padding produced 38 shapes (373 s of first-epoch compiles) where
+    # 256-multiples produce ~5 (67 s) for a measured -17% steady-state
+    # cost — compile-dominated training runs want coarse buckets
     pipeline = EStepPipeline(
         tm, acoustic_scale=acoustic_scale, transition_scale=1.0,
         self_loop_scale=self_loop_scale, batch_size=batch_size,
-        mix_pad_multiple=mix_pad_multiple, align_backend=align_backend,
+        mix_pad_multiple=mix_pad_multiple,
+        states_pad_multiple=states_pad_multiple,
+        frames_pad_multiple=frames_pad_multiple,
+        align_backend=align_backend,
     )
     base = pipeline.pack_graphs_base(graphs)
     gmm_opts = MleDiagGmmOptions()
